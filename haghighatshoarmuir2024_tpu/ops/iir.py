@@ -1,0 +1,158 @@
+"""IIR filtering on the time axis under jit.
+
+TPU-native replacement for the IIR path of ``scipy.signal.lfilter(b, a, x)``
+(reference call sites: micloc/beamformer.py:137-138, micloc/snn_beamformer.py:163-164,
+micloc/filterbank.py:41 — order-1/2 Butterworth bandpass filters).
+
+The filter is expressed in transposed direct-form II as a linear state-space
+recurrence ``s[n] = A s[n-1] + B x[n]``, ``y[n] = b0 x[n] + s[n-1][0]`` with a
+constant companion-like matrix A (state dim N = len(a) - 1).  Two evaluation
+strategies:
+
+* ``method="scan"`` — exact sequential ``lax.scan`` over time.  Supports a
+  carried initial state for streaming.  O(T) sequential steps, each a tiny
+  fused elementwise update over all batch lanes — fine when many channels /
+  DoAs / Monte-Carlo lanes are vmapped together.
+* ``method="parallel"`` — Hillis–Steele parallel prefix on the recurrence using
+  host-precomputed matrix powers A^(2^k): ``s += s_shifted @ (A^(2^k))^T``.
+  log2(T) fully parallel passes; this is the throughput path on TPU.
+
+Filter design (``butter_bandpass``) happens on the host with scipy at setup
+time, as in the reference (micloc/beamformer.py:69-71); only the application of
+the filter runs on device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def butter_bandpass(order: int, freq_range, fs: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side Butterworth bandpass design; mirrors the scipy call used at
+    micloc/beamformer.py:69-71 / micloc/filterbank.py:80."""
+    from scipy.signal import butter
+
+    b, a = butter(order, list(freq_range), btype="bandpass", analog=False, output="ba", fs=fs)
+    return np.asarray(b, dtype=np.float64), np.asarray(a, dtype=np.float64)
+
+
+def _tdf2_matrices(b: np.ndarray, a: np.ndarray):
+    """Transposed direct-form II state-space matrices (host, float64).
+
+    s_i[n] = (b_i - a_i b0) x[n] - a_i s_1[n-1] + s_{i+1}[n-1]
+    y[n]   = b0 x[n] + s_1[n-1]
+    """
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    if a[0] != 1.0:
+        b = b / a[0]
+        a = a / a[0]
+    N = len(a) - 1
+    bp = np.zeros(N + 1)
+    bp[: len(b)] = b
+    A = np.zeros((N, N))
+    for i in range(N):
+        A[i, 0] = -a[i + 1]
+        if i + 1 < N:
+            A[i, i + 1] += 1.0
+    Bvec = bp[1:] - a[1:] * bp[0]
+    return A, Bvec, float(bp[0])
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_powers(key, log2T: int):
+    A = np.array(key, dtype=np.float64)
+    pows = [A]
+    for _ in range(log2T - 1):
+        pows.append(pows[-1] @ pows[-1])
+    return np.stack(pows)  # (log2T, N, N)
+
+
+def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_state: bool = False):
+    """Apply the IIR filter defined by (b, a) along ``axis``.
+
+    Matches ``scipy.signal.lfilter(b, a, x, axis=axis)`` with zero initial
+    conditions (or ``zi`` — scan method only — for streaming).
+
+    Args:
+        b, a: host-side filter coefficients (array-like, not traced).
+        x: input, real or complex.
+        axis: time axis.
+        method: "scan" | "parallel".
+        zi: optional initial state of shape batch_shape + (N,).
+        return_state: also return the final filter state (scan method only).
+    """
+    b = np.asarray(b)
+    a = np.asarray(a)
+    if len(a) == 1:
+        from .fir import fir_filter
+
+        y = fir_filter(np.asarray(b) / a[0], x, axis=axis)
+        if return_state:
+            raise ValueError("return_state is not supported for pure-FIR filters")
+        return y
+
+    A_np, B_np, b0 = _tdf2_matrices(b, a)
+    x = jnp.asarray(x)
+    xm = jnp.moveaxis(x, axis, 0)  # (T, ...)
+    T = xm.shape[0]
+    N = A_np.shape[0]
+    cdtype = xm.dtype
+    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
+
+    A = jnp.asarray(A_np, dtype=rdtype)
+    Bv = jnp.asarray(B_np, dtype=rdtype)
+    b0 = jnp.asarray(b0, dtype=rdtype)
+
+    if method == "scan":
+        if zi is None:
+            s0 = jnp.zeros(xm.shape[1:] + (N,), dtype=cdtype)
+        else:
+            s0 = jnp.asarray(zi, dtype=cdtype)
+
+        a64 = np.asarray(a, np.float64)
+        b64 = np.zeros(N + 1)
+        b64[: len(b)] = np.asarray(b, np.float64) / a64[0]
+        a_tail = jnp.asarray(a64[1:] / a64[0], dtype=rdtype)
+        b_tail = jnp.asarray(b64[1:], dtype=rdtype)
+
+        def step(s, x_t):
+            # transposed direct-form II: y = b0 x + z1;  z_i = b_i x - a_i y + z_{i+1}
+            y_t = b0 * x_t + s[..., 0]
+            s_shift = jnp.concatenate(
+                [s[..., 1:], jnp.zeros(s.shape[:-1] + (1,), s.dtype)], axis=-1
+            )
+            s_new = b_tail * x_t[..., None] - a_tail * y_t[..., None] + s_shift
+            return s_new, y_t
+
+        s_fin, y = jax.lax.scan(step, s0, xm)
+        y = jnp.moveaxis(y, 0, axis)
+        if return_state:
+            return y, s_fin
+        return y
+
+    if method == "parallel":
+        if zi is not None or return_state:
+            raise ValueError("zi/return_state require method='scan'")
+        log2T = max(1, int(np.ceil(np.log2(max(T, 2)))))
+        pows = _cached_powers(tuple(map(tuple, A_np)), log2T)
+        # c[n] = Bvec * x[n], shape (T, ..., N)
+        s = xm[..., None] * Bv
+        for k in range(log2T):
+            Ak = jnp.asarray(pows[k], dtype=rdtype)
+            shift = 1 << k
+            if shift >= T:
+                break
+            s_shifted = jnp.concatenate(
+                [jnp.zeros((shift,) + s.shape[1:], s.dtype), s[:-shift]], axis=0
+            )
+            s = s + jnp.einsum("...j,ij->...i", s_shifted, Ak)
+        s_prev = jnp.concatenate([jnp.zeros((1,) + s.shape[1:], s.dtype), s[:-1]], axis=0)
+        y = b0 * xm + s_prev[..., 0]
+        return jnp.moveaxis(y, 0, axis)
+
+    raise ValueError(f"unknown IIR method: {method}")

@@ -1,0 +1,101 @@
+"""Golden tests of FIR/IIR/STHT primitives against scipy float64 references."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy.signal import lfilter, butter, hilbert
+
+from haghighatshoarmuir2024_tpu.ops import (
+    fir_filter,
+    iir_filter,
+    butter_bandpass,
+    stht,
+    stht_kernel,
+    moving_average_full,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_fir_matches_lfilter(rng):
+    x = rng.standard_normal((4000, 3))
+    b = rng.standard_normal(481)
+    ref = lfilter(b, [1], x, axis=0)
+    for method in ("fft", "direct"):
+        got = np.asarray(fir_filter(b, x, axis=0, method=method))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_fir_complex(rng):
+    x = rng.standard_normal((1000, 2)) + 1j * rng.standard_normal((1000, 2))
+    b = rng.standard_normal(33)
+    ref = lfilter(b, [1], x, axis=0)
+    got = np.asarray(fir_filter(b, x, axis=0, method="fft"))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("order", [1, 2])
+@pytest.mark.parametrize("method", ["scan", "parallel"])
+def test_iir_matches_lfilter(rng, order, method):
+    fs = 48_000
+    b, a = butter_bandpass(order, (1600, 1900), fs)
+    x = rng.standard_normal((6000, 4))
+    ref = lfilter(b, a, x, axis=0)
+    got = np.asarray(iir_filter(b, a, x, axis=0, method=method))
+    # the parallel prefix form accumulates ~1e-9 abs error over long signals
+    # (pole powers amplify rounding); the sequential scan is bit-faithful
+    atol = 1e-9 if method == "scan" else 1e-7
+    np.testing.assert_allclose(got, ref, rtol=1e-5 if method == "parallel" else 1e-7, atol=atol)
+
+
+def test_iir_complex(rng):
+    fs = 48_000
+    b, a = butter_bandpass(2, (1600, 1900), fs)
+    x = rng.standard_normal((3000, 2)) + 1j * rng.standard_normal((3000, 2))
+    ref = lfilter(b, a, x, axis=0)
+    for method in ("scan", "parallel"):
+        got = np.asarray(iir_filter(b, a, x, axis=0, method=method))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_iir_streaming_state(rng):
+    fs = 48_000
+    b, a = butter_bandpass(2, (1600, 1900), fs)
+    x = rng.standard_normal((2000, 3))
+    full = np.asarray(iir_filter(b, a, x, axis=0, method="scan"))
+    y1, s = iir_filter(b, a, x[:900], axis=0, method="scan", return_state=True)
+    y2 = iir_filter(b, a, x[900:], axis=0, method="scan", zi=s)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=0)
+    np.testing.assert_allclose(got, full, rtol=1e-10, atol=1e-12)
+
+
+def test_stht_kernel_matches_scipy():
+    for n in (480, 961):
+        impulse = np.zeros(n)
+        impulse[0] = 1
+        ref = np.fft.fftshift(np.imag(hilbert(impulse)))
+        got = stht_kernel(n)
+        np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_stht_matches_reference_construction(rng):
+    """roll + lfilter construction of the analytic signal (beamformer.py:131-134)."""
+    fs = 48_000
+    n = 480
+    impulse = np.zeros(n)
+    impulse[0] = 1
+    kernel = np.fft.fftshift(np.imag(hilbert(impulse)))
+    x = rng.standard_normal((6000, 7))
+    ref = np.roll(x, n // 2, axis=0) + 1j * lfilter(kernel, [1], x, axis=0)
+    got = np.asarray(stht(x, kernel, axis=0))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_moving_average_full(rng):
+    x = rng.standard_normal(513)
+    win = 15
+    ref = np.convolve(np.ones(win), x, mode="full")
+    got = np.asarray(moving_average_full(x, win))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
