@@ -1,0 +1,273 @@
+"""Quantized SNN localization pipeline — the Demo equivalent
+(micloc/xylo_snn_localization.py:74-542), torch/rockpool-free and jittable
+end-to-end.
+
+Construction: per frequency band an :class:`SNNBeamformer` is designed from a
+sinusoid template at the band center (taus = 1/(2π f_mid), reference :115-145);
+the per-band beamforming matrices become the block-diagonal input weights of a
+2-layer SNN, quantized to Xylo-A2 integers; inference runs the integer LIF
+simulator.
+
+Inference chain (``spike_encoding → xylo_process → extract_rate →
+estimate_doa_from_rate``) keeps the reference method names and contracts, and
+additionally exposes :meth:`forward` — the whole chain as one jitted function
+(audio frame in, DoA + rate out), which is the flagship benchmarked program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...config import FS
+from ...geometry import ArrayGeometry
+from ...ops.filterbank import ButterworthFilterbank
+from ...ops.spikes import rzcc_encode
+from ...ops.stht import stht
+from ..snn_beamformer import SNNBeamformer
+from .quantize import XyloConfig, global_quantize, validate_config
+from .sim import XyloSim, _sim_hidden, sim_hidden_batch
+from .spec import XyloSpec, build_localization_spec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bas", "robust_width", "bipolar")
+)
+def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
+    """STHT → real-stack → filterbank → band-concat → RZCC → polarity split.
+
+    Port of ``Demo.spike_encoding`` (micloc/xylo_snn_localization.py:315-356).
+    Output: (T, 2·2M·F) int32 when bipolar else (T, 2M·F).
+    """
+    from ...ops.iir import iir_filter
+
+    sig_h = stht(sig_in, kernel, axis=0)
+    sig_real = jnp.concatenate([sig_h.real, sig_h.imag], axis=1)  # (T, 2M)
+
+    bands = [
+        iir_filter(np.asarray(b), np.asarray(a), sig_real, axis=0, method="scan")
+        for b, a in bas
+    ]
+    sig_all = jnp.concatenate(bands, axis=1)  # (T, 2M·F)
+
+    spikes = rzcc_encode(sig_all, robust_width, bipolar).astype(jnp.int32)
+    if bipolar:
+        pos = (spikes + jnp.abs(spikes)) // 2
+        neg = (-spikes + jnp.abs(spikes)) // 2
+        spikes = jnp.concatenate([pos, neg], axis=1)
+    return spikes
+
+
+class Demo:
+    """Quantized Xylo-style SNN localization (micloc/xylo_snn_localization.py:74-542).
+
+    ``xylosim_version`` is kept for API parity; hardware deployment is out of
+    scope on TPU, so the integer simulator is always used, but the flag selects
+    whether the hardware-only input-channel constraint is enforced.
+    """
+
+    def __init__(
+        self,
+        geometry: ArrayGeometry,
+        freq_bands,
+        doa_list,
+        recording_duration: float = 0.25,
+        kernel_duration: float = 10e-3,
+        bipolar_spikes: bool = True,
+        xylosim_version: bool = True,
+        fs: float = FS,
+        target_dt: float = 1e-3,
+        design_chunk: int = 32,
+    ):
+        self.geometry = geometry
+        self.freq_bands = np.atleast_2d(np.asarray(freq_bands, dtype=np.float64))
+        self.doa_list = np.asarray(doa_list, dtype=np.float64)
+        self.recording_duration = recording_duration
+        self.kernel_duration = kernel_duration
+        self.bipolar_spikes = bool(bipolar_spikes)
+        self.xylosim_version = bool(xylosim_version)
+        self.fs = fs
+        self.dt = 1.0 / fs
+
+        # per-band beamformer design (micloc/xylo_snn_localization.py:115-145)
+        self.beamfs = []
+        self.bf_mats = []
+        self.tau_vecs = []
+        for freq_range in self.freq_bands:
+            freq_mid = float(np.mean(freq_range))
+            tau_mem = 1.0 / (2 * np.pi * freq_mid)
+            tau_vec = [tau_mem, tau_mem]
+            self.tau_vecs.append(tau_vec)
+            beamf = SNNBeamformer(
+                geometry=geometry,
+                kernel_duration=kernel_duration,
+                freq_range=freq_range,
+                tau_vec=tau_vec,
+                bipolar_spikes=bipolar_spikes,
+                fs=fs,
+                design_chunk=design_chunk,
+            )
+            self.beamfs.append(beamf)
+            time_temp = np.arange(0, recording_duration, step=1 / fs)
+            sig_temp = np.sin(2 * np.pi * freq_mid * time_temp)
+            bf_vecs = beamf.design_from_template(
+                template=(time_temp, sig_temp), doa_list=self.doa_list
+            )
+            self.bf_mats.append(np.asarray(bf_vecs))
+        self.tau_vecs = np.asarray(self.tau_vecs)
+
+        # shared order-1 filterbank (micloc/xylo_snn_localization.py:149-153)
+        self.filterbank = ButterworthFilterbank(
+            freq_bands=self.freq_bands, order=1, fs=fs
+        )
+        self._bas = tuple(
+            (tuple(b.tolist()), tuple(a.tolist())) for b, a in self.filterbank.ba_list
+        )
+
+        self._initialize_snn_module(target_dt=target_dt)
+
+    # ---------------------------------------------------------------- SNN init
+    def _initialize_snn_module(self, target_dt: float):
+        """Spec assembly + quantization + simulator
+        (micloc/xylo_snn_localization.py:173-313)."""
+        self.spec = build_localization_spec(
+            bf_mats=self.bf_mats,
+            tau_vecs=[tuple(tv) for tv in self.tau_vecs],
+            fs=self.fs,
+            target_dt=target_dt,
+            bipolar_spikes=self.bipolar_spikes,
+            threshold=1.0,
+        )
+        self.xylo_config = global_quantize(self.spec)
+        problems = validate_config(
+            self.xylo_config, hardware=not self.xylosim_version
+        )
+        if problems:
+            if self.xylosim_version:
+                raise ValueError("invalid Xylo configuration: " + "; ".join(problems))
+            # mirror the reference's automatic fallback to the simulator
+            # (micloc/xylo_snn_localization.py:292-313)
+            print(
+                "Xylo hardware constraints violated; falling back to the "
+                "software simulator: " + "; ".join(problems)
+            )
+            self.xylosim_version = True
+        self.xylo = XyloSim.from_config(self.xylo_config, output_mode="Spike", dt=target_dt)
+
+    # ------------------------------------------------------------ the pipeline
+    def spike_encoding(self, sig_in) -> jnp.ndarray:
+        """Audio frame (T, M) → input spike raster
+        (micloc/xylo_snn_localization.py:315-356)."""
+        sig_in = jnp.asarray(sig_in, dtype=jnp.float32)
+        return _spike_encoding_core(
+            sig_in,
+            jnp.asarray(self.beamfs[0].kernel, dtype=jnp.float32),
+            bas=self._bas,
+            robust_width=self.beamfs[0].robust_width,
+            bipolar=self.bipolar_spikes,
+        )
+
+    def xylo_process(self, spikes_in) -> jnp.ndarray:
+        """Input spikes → hidden-layer spike raster
+        (micloc/xylo_snn_localization.py:358-377)."""
+        self.xylo.reset_state()
+        out, state, rec = self.xylo(spikes_in, record=True)
+        return rec["Spikes"]
+
+    def extract_rate(self, spikes_in) -> jnp.ndarray:
+        """Hidden raster → per-DoA spike rate, folded over frequency channels
+        (micloc/xylo_snn_localization.py:379-398)."""
+        num_DoA_grid = len(self.doa_list)
+        rate_channels = jnp.mean(jnp.asarray(spikes_in, jnp.float32), axis=0) * self.fs
+        return rate_channels.reshape(-1, num_DoA_grid).mean(0)
+
+    def estimate_doa_from_rate(self, spike_rate, method: str = "peak"):
+        """Rate profile → DoA (micloc/xylo_snn_localization.py:400-444)."""
+        method_list = ["peak", "periodic_ml", "trimmed_periodic_ml"]
+        if method not in method_list:
+            raise ValueError(
+                f"only the following estimation methods are supported:\n{method_list}"
+            )
+        spike_rate = jnp.asarray(spike_rate)
+        doa_list = jnp.asarray(self.doa_list)
+        if method == "peak":
+            return doa_list[jnp.argmax(spike_rate)]
+        if method == "periodic_ml":
+            weighted_exp = jnp.mean(spike_rate * jnp.exp(1j * doa_list))
+            return jnp.angle(weighted_exp)
+        # trimmed_periodic_ml
+        DoA_index = jnp.argmax(spike_rate)
+        num_DoA = len(self.doa_list) // 2
+        DoA_range = (
+            jnp.arange(-(num_DoA // 2), num_DoA // 2 + 1) - DoA_index
+        )
+        weighted_exp = jnp.mean(
+            spike_rate[DoA_range] * jnp.exp(1j * doa_list[DoA_range])
+        )
+        return jnp.angle(weighted_exp)
+
+    # ------------------------------------------------------------- jitted path
+    def forward(self, sig_in):
+        """Whole chain as one jitted call: (T, M) audio → (doa, rate).
+
+        This is the flagship benchmarked program — no host round-trips between
+        stages (the reference crosses Python/rockpool boundaries per stage).
+        """
+        return self._forward_jit(jnp.asarray(sig_in, jnp.float32))
+
+    @functools.cached_property
+    def _forward_jit(self):
+        kernel = jnp.asarray(self.beamfs[0].kernel, dtype=jnp.float32)
+        cfg = self.xylo_config
+        bas = self._bas
+        robust_width = self.beamfs[0].robust_width
+        bipolar = self.bipolar_spikes
+        doa_list = jnp.asarray(self.doa_list)
+        num_DoA = len(self.doa_list)
+        fs = self.fs
+
+        @jax.jit
+        def fwd(sig_in):
+            spikes = _spike_encoding_core(
+                sig_in, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar
+            )
+            hidden = sim_hidden_batch(cfg, spikes[None])[0]
+            rate = jnp.mean(hidden.astype(jnp.float32), axis=0) * fs
+            rate_doa = rate.reshape(-1, num_DoA).mean(0)
+            doa = doa_list[jnp.argmax(rate_doa)]
+            return doa, rate_doa
+
+        return fwd
+
+    def forward_batch(self, sig_batch):
+        """Batched flagship chain: (B, T, M) → (doa (B,), rate (B, G))."""
+        return self._forward_batch_jit(jnp.asarray(sig_batch, jnp.float32))
+
+    @functools.cached_property
+    def _forward_batch_jit(self):
+        kernel = jnp.asarray(self.beamfs[0].kernel, dtype=jnp.float32)
+        cfg = self.xylo_config
+        bas = self._bas
+        robust_width = self.beamfs[0].robust_width
+        bipolar = self.bipolar_spikes
+        doa_list = jnp.asarray(self.doa_list)
+        num_DoA = len(self.doa_list)
+        fs = self.fs
+
+        @jax.jit
+        def fwd(sig_batch):
+            enc = jax.vmap(
+                lambda s: _spike_encoding_core(
+                    s, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar
+                )
+            )(sig_batch)
+            hidden = sim_hidden_batch(cfg, enc)
+            rate = jnp.mean(hidden.astype(jnp.float32), axis=1) * fs
+            rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
+            doa = doa_list[jnp.argmax(rate_doa, axis=-1)]
+            return doa, rate_doa
+
+        return fwd

@@ -1,0 +1,129 @@
+"""Golden test of the MUSIC (Bartlett) beamformer against a NumPy port of the
+reference (micloc/music_beamformer.py)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.signal import lfilter, butter
+
+from haghighatshoarmuir2024_tpu import CenterCircularArray
+from haghighatshoarmuir2024_tpu.models.music import MUSIC
+
+FS = 48_000
+
+
+def _ref_beamforming(geometry, freq_range, doa_list, sig_in, num_active_freq, num_fft_bin):
+    """Port of micloc/music_beamformer.py:91-186."""
+    b, a = butter(1, list(freq_range), btype="bandpass", output="ba", fs=FS)
+    T, num_chan = sig_in.shape
+    sig_in_filt = lfilter(b, a, sig_in, axis=0)
+
+    freq_vec = np.linspace(0, FS, num_fft_bin)
+    num_fft_frames = T // num_fft_bin
+    if num_fft_frames == 0:
+        num_fft_frames = 1
+    sig_fft_len = num_fft_frames * num_fft_bin
+    sig_in_filt_adj = np.zeros((sig_fft_len, num_chan))
+    n = min(T, sig_fft_len)
+    sig_in_filt_adj[:n, :] = sig_in_filt[:n, :]
+
+    sig_in_fft = np.fft.fft(
+        sig_in_filt_adj.T.reshape(num_chan, num_fft_frames, num_fft_bin),
+        n=num_fft_bin,
+        axis=-1,
+    )
+    fmin, fmax = freq_range
+    fft_bin_index = (fmin <= freq_vec) & (freq_vec <= fmax)
+    sig_sel = sig_in_fft[:, :, fft_bin_index]
+    freq_sel = freq_vec[fft_bin_index]
+
+    power_in_freq = np.mean(np.abs(sig_sel) ** 2, axis=(0, 1))
+    max_idx = np.argsort(power_in_freq)[-num_active_freq:]
+    max_freqs = freq_sel[max_idx]
+    X = sig_sel[:, :, max_idx]
+
+    delays = np.asarray(
+        [
+            -geometry.r_vec * np.cos(geometry.theta_vec - th) / geometry.speed
+            for th in doa_list
+        ]
+    ).T
+    arr_resp = np.asarray(
+        [np.exp(-1j * 2 * np.pi * f * delays) for f in max_freqs]
+    )
+
+    ang_pow_spec = 0
+    for idx in range(len(max_freqs)):
+        ang = np.mean(np.abs(np.conj(arr_resp[idx]).T @ X[:, :, idx]) ** 2, axis=-1)
+        ang_pow_spec = ang_pow_spec + ang
+    return ang_pow_spec
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    freq_range = (1200.0, 2000.0)
+    doa_list = np.linspace(-np.pi, np.pi, 65)
+    music = MUSIC(geometry, freq_range, doa_list, frame_duration=0.25, fs=FS)
+    return geometry, music, freq_range, doa_list
+
+
+def test_beamforming_matches_reference(setup):
+    geometry, music, freq_range, doa_list = setup
+    rng = np.random.default_rng(0)
+    t = np.arange(12_000) / FS
+    sig = np.sin(2 * np.pi * 1750 * t)[:, None] + 0.1 * rng.standard_normal((12_000, 7))
+    for num_active_freq, nfft in ((1, 2048), (5, 2048), (3, 1024)):
+        ref = _ref_beamforming(geometry, freq_range, doa_list, sig, num_active_freq, nfft)
+        got = np.asarray(music.beamforming(jnp.asarray(sig), num_active_freq, nfft))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_array_response(setup):
+    geometry, music, freq_range, doa_list = setup
+    freqs = [1500.0, 1750.0]
+    got = np.asarray(music.array_response(freqs))
+    delays = np.asarray(
+        [
+            -geometry.r_vec * np.cos(geometry.theta_vec - th) / geometry.speed
+            for th in doa_list
+        ]
+    ).T
+    ref = np.asarray([np.exp(-1j * 2 * np.pi * f * delays) for f in freqs])
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+
+
+def test_apply_to_signal_framing(setup):
+    geometry, music, freq_range, doa_list = setup
+    rng = np.random.default_rng(1)
+    sig = rng.standard_normal((30_000, 7))
+    out = np.asarray(
+        music.apply_to_signal(jnp.asarray(sig), num_active_freq=2, duration_overlap=0.125, num_fft_bin=1024)
+    )
+    # frame math from micloc/music_beamformer.py:217-257:
+    # frame=12000, fresh=6000 -> full frames while i*6000+12000 <= 30000 -> i=0..3
+    # leftover = 30000-4*6000=6000 <= 0.5*12000 -> not processed
+    assert out.shape == (4, len(doa_list))
+
+
+def test_music_doa_estimation(setup):
+    geometry, music, freq_range, doa_list = setup
+    grid = music.doa_list
+    t = np.arange(0, 0.5, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    key = jax.random.PRNGKey(0)
+    for doa_true in (-2.0, 0.5):
+        key, sub = jax.random.split(key)
+        aps = np.asarray(
+            music.apply_to_template(
+                (t, sig, doa_true),
+                num_active_freq=1,
+                duration_overlap=0.0,
+                num_fft_bin=2048,
+                snr_db=10.0,
+                key=sub,
+            )
+        )
+        est = grid[int(np.argmax(aps.mean(0)))]
+        err = np.rad2deg(np.arcsin(abs(np.sin(est - doa_true))))
+        assert err < 4.0, (doa_true, est, err)
