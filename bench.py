@@ -1,0 +1,104 @@
+"""Flagship benchmark: throughput of the full encode→SNN→DoA pipeline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-sec/sec", "vs_baseline": N}
+
+Metric definition (BASELINE.json): audio seconds processed per wall-clock
+second per chip by the complete quantized 7-mic Hilbert-SNN localization
+pipeline (STHT → filterbank → RZCC encode → integer-LIF SNN → rate → DoA).
+Baseline = 1x real-time (the reference's XyloSim path is slower than
+real-time on a host CPU, SURVEY §6.4), so vs_baseline == value.
+
+Config matches the reference live demo defaults
+(micloc/xylo_snn_localization.py:685-741): CenterCircularArray 7 mics r=4.5cm,
+one band, 0.25 s frames, 10 ms kernel, fs 48 kHz, 449-point DoA grid.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.models.xylo import Demo
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+
+    fs = 48_000
+    frame = 0.25
+    num_grid = 64 * 7 + 1
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+
+    t0 = time.time()
+    demo = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900]],
+        doa_list=np.linspace(-np.pi, np.pi, num_grid),
+        recording_duration=frame,
+        kernel_duration=10e-3,
+        bipolar_spikes=True,
+        fs=fs,
+    )
+    design_time = time.time() - t0
+
+    # batch of audio frames (sources at assorted DoAs + noise)
+    t = np.arange(0, frame, 1 / fs)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    batch_size = 64
+    key = jax.random.PRNGKey(0)
+    doas = np.linspace(-np.pi, np.pi, batch_size, endpoint=False)
+    frames = []
+    for i, doa in enumerate(doas):
+        s = np.asarray(signal_from_template(geometry, t, sig, float(doa), fs=fs))
+        frames.append(s)
+    frames = np.stack(frames).astype(np.float32)
+    frames = frames + 0.1 * np.asarray(
+        jax.random.normal(key, frames.shape), dtype=np.float32
+    )
+    frames_j = jnp.asarray(frames)
+
+    # warm-up / compile
+    doa, rate = demo.forward_batch(frames_j)
+    doa.block_until_ready()
+    compile_time = time.time() - t0 - design_time
+
+    # timed runs
+    n_rep = 5
+    t1 = time.time()
+    for _ in range(n_rep):
+        doa, rate = demo.forward_batch(frames_j)
+    doa.block_until_ready()
+    elapsed = (time.time() - t1) / n_rep
+
+    audio_sec = batch_size * frame
+    throughput = audio_sec / elapsed
+
+    # sanity: estimates land near the per-frame source angles (median bias only)
+    est = np.asarray(doa)
+    err = np.abs(np.arcsin(np.abs(np.sin(est - doas))))
+    ok_frac = float(np.mean(np.rad2deg(err) < 25.0))
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio-sec/sec/chip full encode->SNN->DoA pipeline (7-mic Hilbert-SNN, 449-DoA grid)",
+                "value": round(throughput, 2),
+                "unit": "audio-sec/sec",
+                "vs_baseline": round(throughput, 2),
+            }
+        )
+    )
+    print(
+        f"# design {design_time:.1f}s, compile {compile_time:.1f}s, "
+        f"batch {batch_size} x {frame}s frames in {elapsed*1000:.1f} ms, "
+        f"doa-ok-frac {ok_frac:.2f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

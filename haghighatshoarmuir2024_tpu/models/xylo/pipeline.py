@@ -81,6 +81,7 @@ class Demo:
         fs: float = FS,
         target_dt: float = 1e-3,
         design_chunk: int = 32,
+        use_cache: bool = True,
     ):
         self.geometry = geometry
         self.freq_bands = np.atleast_2d(np.asarray(freq_bands, dtype=np.float64))
@@ -91,6 +92,25 @@ class Demo:
         self.xylosim_version = bool(xylosim_version)
         self.fs = fs
         self.dt = 1.0 / fs
+
+        # design checkpoint cache: the reference recomputes designs at every
+        # process start (SURVEY §5); designs are pure functions of the config
+        from ...utils.cache import DesignCache, design_cache_key
+
+        cache = DesignCache() if use_cache else None
+        cache_key = design_cache_key(
+            r_vec=geometry.r_vec,
+            theta_vec=geometry.theta_vec,
+            speed=geometry.speed,
+            freq_bands=self.freq_bands,
+            doa_list=self.doa_list,
+            recording_duration=recording_duration,
+            kernel_duration=kernel_duration,
+            bipolar=bipolar_spikes,
+            fs=fs,
+            version=1,
+        )
+        cached = cache.load(cache_key) if cache else None
 
         # per-band beamformer design (micloc/xylo_snn_localization.py:115-145)
         self.beamfs = []
@@ -111,13 +131,22 @@ class Demo:
                 design_chunk=design_chunk,
             )
             self.beamfs.append(beamf)
-            time_temp = np.arange(0, recording_duration, step=1 / fs)
-            sig_temp = np.sin(2 * np.pi * freq_mid * time_temp)
-            bf_vecs = beamf.design_from_template(
-                template=(time_temp, sig_temp), doa_list=self.doa_list
-            )
-            self.bf_mats.append(np.asarray(bf_vecs))
+            band_idx = len(self.bf_mats)
+            if cached is not None and f"bf_{band_idx}" in cached:
+                self.bf_mats.append(cached[f"bf_{band_idx}"])
+            else:
+                time_temp = np.arange(0, recording_duration, step=1 / fs)
+                sig_temp = np.sin(2 * np.pi * freq_mid * time_temp)
+                bf_vecs = beamf.design_from_template(
+                    template=(time_temp, sig_temp), doa_list=self.doa_list
+                )
+                self.bf_mats.append(np.asarray(bf_vecs))
         self.tau_vecs = np.asarray(self.tau_vecs)
+        if cache is not None and cached is None:
+            cache.save(
+                cache_key,
+                {f"bf_{i}": m for i, m in enumerate(self.bf_mats)},
+            )
 
         # shared order-1 filterbank (micloc/xylo_snn_localization.py:149-153)
         self.filterbank = ButterworthFilterbank(
