@@ -41,24 +41,41 @@ def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
 
     Port of ``Demo.spike_encoding`` (micloc/xylo_snn_localization.py:315-356).
     Output: (T, 2·2M·F) int32 when bipolar else (T, 2M·F).
+
+    TPU optimization: the RZCC encoder peaks the *cumsum* of the bandpassed
+    signal; cumsum ∘ IIR(b, a) == IIR(b, a ⊛ [1, −1]), so the integration is
+    folded into the bandpass denominator and the whole band is one filter pass
+    (same values up to float associativity; validated against the unfused
+    reference form in tests).
     """
     from ...ops.iir import iir_filter
+    from ...ops.peaks import find_peaks_mask
 
     sig_h = stht(sig_in, kernel, axis=0)
     sig_real = jnp.concatenate([sig_h.real, sig_h.imag], axis=1)  # (T, 2M)
 
-    bands = [
-        iir_filter(np.asarray(b), np.asarray(a), sig_real, axis=0, method="scan")
+    css = [
+        iir_filter(
+            np.asarray(b),
+            np.convolve(np.asarray(a), [1.0, -1.0]),
+            sig_real,
+            axis=0,
+            method="scan",
+        )
         for b, a in bas
     ]
-    sig_all = jnp.concatenate(bands, axis=1)  # (T, 2M·F)
+    cs_all = jnp.concatenate(css, axis=1).T  # channel-major (C, T)
 
-    spikes = rzcc_encode(sig_all, robust_width, bipolar).astype(jnp.int32)
+    both = jnp.concatenate([cs_all, -cs_all], axis=0) if bipolar else cs_all
+    masks = find_peaks_mask(both, robust_width)
     if bipolar:
-        pos = (spikes + jnp.abs(spikes)) // 2
-        neg = (-spikes + jnp.abs(spikes)) // 2
-        spikes = jnp.concatenate([pos, neg], axis=1)
-    return spikes
+        C = cs_all.shape[0]
+        peaks, valleys = masks[:C], masks[C:]
+        # reference overwrite semantics: −1 wins on collision
+        pos = (peaks & ~valleys).astype(jnp.int32)
+        neg = valleys.astype(jnp.int32)
+        return jnp.concatenate([pos.T, neg.T], axis=1)  # (T, 2C)
+    return masks.T.astype(jnp.int32)
 
 
 class Demo:
@@ -258,13 +275,16 @@ class Demo:
         num_DoA = len(self.doa_list)
         fs = self.fs
 
+        from ...ops.pallas.lif_kernel import lif_count_rates
+
         @jax.jit
         def fwd(sig_in):
             spikes = _spike_encoding_core(
                 sig_in, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar
             )
-            hidden = sim_hidden_batch(cfg, spikes[None])[0]
-            rate = jnp.mean(hidden.astype(jnp.float32), axis=0) * fs
+            T = spikes.shape[0]
+            counts = lif_count_rates(cfg, spikes[None].astype(jnp.int8))[0]
+            rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(-1, num_DoA).mean(0)
             doa = doa_list[jnp.argmax(rate_doa)]
             return doa, rate_doa
@@ -286,6 +306,8 @@ class Demo:
         num_DoA = len(self.doa_list)
         fs = self.fs
 
+        from ...ops.pallas.lif_kernel import lif_count_rates
+
         @jax.jit
         def fwd(sig_batch):
             enc = jax.vmap(
@@ -293,8 +315,9 @@ class Demo:
                     s, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar
                 )
             )(sig_batch)
-            hidden = sim_hidden_batch(cfg, enc)
-            rate = jnp.mean(hidden.astype(jnp.float32), axis=1) * fs
+            T = enc.shape[1]
+            counts = lif_count_rates(cfg, enc.astype(jnp.int8))
+            rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             doa = doa_list[jnp.argmax(rate_doa, axis=-1)]
             return doa, rate_doa

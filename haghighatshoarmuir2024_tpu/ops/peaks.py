@@ -39,38 +39,57 @@ import jax.numpy as jnp
 
 
 def local_maxima_mask(x):
-    """Boolean mask of scipy-style local maxima (plateau midpoints) of 1-D ``x``."""
+    """Boolean mask of scipy-style local maxima (plateau midpoints) along the
+    last axis of ``x`` (any leading batch dims).
+
+    Gather/scatter-free formulation (TPU scatters are slow when composed into
+    larger programs): for every position p, the enclosing run of equal values
+    is [l(p), r(p)] where l−1 is the last nonzero diff before p and r the next
+    nonzero diff at/after p (forward cummax / reverse cummin of marked
+    indices).  p is a peak iff the run rises on the left (last nonzero diff is
+    +1), falls on the right (next nonzero diff is −1), and p is the run's
+    midpoint ``(l + r) // 2`` — exactly scipy `_local_maxima_1d` including
+    plateaus, with signal edges excluded automatically (no boundary ⇒ the
+    rise/fall test fails).
+    """
     x = jnp.asarray(x)
-    T = x.shape[0]
-    d = jnp.sign(x[1:] - x[:-1])  # (T-1,), d[i] = sign(x[i+1]-x[i])
+    T = x.shape[-1]
+    d = jnp.sign(x[..., 1:] - x[..., :-1])  # (..., T-1), d[i] = sign(x[i+1]-x[i])
+    axis = d.ndim - 1
+    idx = jnp.arange(T - 1, dtype=jnp.int32)
+    big = jnp.int32(T)  # sentinel "no next boundary"
 
-    # last strictly-nonzero diff at or before each position (value & index)
-    idx = jnp.arange(T - 1)
-    nz = d != 0
-    lastnz_idx = jax.lax.cummax(jnp.where(nz, idx, -1))
-    # shift by one: last nonzero diff strictly before position i
-    lastnz_idx_prev = jnp.concatenate([jnp.array([-1]), lastnz_idx[:-1]])
-    prev_val = jnp.where(lastnz_idx_prev >= 0, d[jnp.maximum(lastnz_idx_prev, 0)], 0.0)
+    # last +1/-1 boundary strictly before p (shift the inclusive cummax by one)
+    last_pos = jax.lax.cummax(jnp.where(d == 1, idx, -1), axis=axis)
+    last_neg = jax.lax.cummax(jnp.where(d == -1, idx, -1), axis=axis)
+    pad = jnp.full(x.shape[:-1] + (1,), -1, jnp.int32)
+    last_pos = jnp.concatenate([pad, last_pos], axis=-1)  # (..., T)
+    last_neg = jnp.concatenate([pad, last_neg], axis=-1)
 
-    # i is the right edge of a plateau-peak iff d[i] == -1 and the previous
-    # nonzero diff is +1 at position j; plateau = [j+1, i], midpoint (j+1+i)//2
-    valid = (d == -1) & (prev_val == 1)
-    left_edge = lastnz_idx_prev + 1
-    mid = (left_edge + idx) // 2
-    scatter_idx = jnp.where(valid, mid, T)  # T = out-of-range -> dropped
-    mask = jnp.zeros(T, dtype=bool).at[scatter_idx].set(True, mode="drop")
-    return mask
+    # next +1/-1 boundary at/after p
+    next_pos = jax.lax.cummin(jnp.where(d == 1, idx, big), axis=axis, reverse=True)
+    next_neg = jax.lax.cummin(jnp.where(d == -1, idx, big), axis=axis, reverse=True)
+    pad_b = jnp.full(x.shape[:-1] + (1,), big, jnp.int32)
+    next_pos = jnp.concatenate([next_pos, pad_b], axis=-1)  # (..., T)
+    next_neg = jnp.concatenate([next_neg, pad_b], axis=-1)
+
+    rising_into = last_pos > last_neg  # boundary before the run is a rise
+    falling_out = next_neg < next_pos  # boundary after the run is a fall
+    l = last_pos + 1
+    r = next_neg
+    p = jnp.arange(T, dtype=jnp.int32)
+    return rising_into & falling_out & (p == (l + r) // 2)
 
 
 def _window_max(v, w: int):
-    """Max over a centered window of full width ``2*w + 1`` (same length out)."""
+    """Max over a centered window of full width ``2*w + 1`` along the last
+    axis (same length out; leading dims are batch)."""
+    dims = (1,) * (v.ndim - 1) + (2 * w + 1,)
+    strides = (1,) * v.ndim
+    padding = ((0, 0),) * (v.ndim - 1) + ((w, w),)
     return jax.lax.reduce_window(
-        v,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(2 * w + 1,),
-        window_strides=(1,),
-        padding=((w, w),),
+        v, -jnp.inf, jax.lax.max, window_dimensions=dims,
+        window_strides=strides, padding=padding,
     )
 
 
@@ -83,15 +102,19 @@ def select_by_distance(cand_mask, height, distance):
         distance: minimal allowed spacing; peaks closer than ``ceil(distance)``
             samples to a higher kept peak are removed.
 
+    Batch-native: operates along the last axis with any leading batch dims.
+
     Returns:
-        (T,) bool mask of kept peaks.
+        (..., T) bool mask of kept peaks.
     """
-    T = cand_mask.shape[0]
+    T = cand_mask.shape[-1]
     w = int(np.ceil(distance)) - 1
     if w <= 0:
         return cand_mask
+    fdtype = height.dtype if jnp.issubdtype(height.dtype, jnp.floating) else jnp.float32
+    height = height.astype(fdtype)
     idx = jnp.arange(T)
-    neg_inf = jnp.array(-jnp.inf, dtype=height.dtype)
+    neg_inf = jnp.array(-jnp.inf, dtype=fdtype)
 
     def cond(state):
         active, kept = state
@@ -104,10 +127,10 @@ def select_by_distance(cand_mask, height, distance):
         top = active & (h == wmax) & jnp.isfinite(h)
         # rightmost tiebreak among window-maxima (all equal-height within a window)
         tid = jnp.where(top, idx, -1)
-        wtid = _window_max(tid.astype(height.dtype), w).astype(idx.dtype)
+        wtid = _window_max(tid.astype(fdtype), w).astype(idx.dtype)
         winner = top & (wtid == idx)
         # delete candidates inside any winner's window
-        in_winner_win = _window_max(winner.astype(height.dtype), w) > 0
+        in_winner_win = _window_max(winner.astype(fdtype), w) > 0
         kept = kept | winner
         active = active & ~in_winner_win
         return active, kept
@@ -119,8 +142,9 @@ def select_by_distance(cand_mask, height, distance):
 
 
 def find_peaks_mask(x, distance=None):
-    """jit-compatible ``scipy.signal.find_peaks(x, distance=d)`` returning a
-    (T,) boolean mask instead of an index list (static shapes for XLA)."""
+    """jit-compatible ``scipy.signal.find_peaks(x, distance=d)`` along the last
+    axis, returning a boolean mask instead of an index list (static shapes for
+    XLA).  Leading dims are batch."""
     x = jnp.asarray(x)
     cand = local_maxima_mask(x)
     if distance is None or distance <= 1:

@@ -65,13 +65,19 @@ def rzcc_encode(sig_in, robust_width: int, bipolar: bool = False):
     assignment does (micloc/spike_encoder.py:124-137).
     """
     sig_in = jnp.asarray(sig_in)
-    cs = jnp.cumsum(sig_in, axis=0)
-    peaks = jax.vmap(lambda c: find_peaks_mask(c, robust_width), in_axes=1, out_axes=1)(cs)
-    spikes = peaks.astype(sig_in.dtype)
+    # channel-major (C, T) layout keeps the peak kernels batch-native on the
+    # time (last) axis — no per-iteration transposes inside the suppression loop
+    cs = jnp.cumsum(sig_in.T, axis=-1)
     if bipolar:
-        valleys = jax.vmap(lambda c: find_peaks_mask(-c, robust_width), in_axes=1, out_axes=1)(cs)
-        spikes = jnp.where(valleys, -1.0, spikes)
-    return spikes
+        # one batched pass over [cumsum ; -cumsum] covers peaks and valleys
+        both = jnp.concatenate([cs, -cs], axis=0)
+        masks = find_peaks_mask(both, robust_width)
+        C = cs.shape[0]
+        peaks, valleys = masks[:C], masks[C:]
+        spikes = jnp.where(valleys, -1.0, peaks.astype(sig_in.dtype))
+    else:
+        spikes = find_peaks_mask(cs, robust_width).astype(sig_in.dtype)
+    return spikes.T
 
 
 class ZeroCrossingSpikeEncoder(SpikeEncoder):
@@ -94,7 +100,5 @@ class PeakSpikeEncoder(SpikeEncoder):
 
     def evolve(self, sig_in, robust_width: int = 1):
         sig_in = jnp.asarray(sig_in)
-        peaks = jax.vmap(
-            lambda c: find_peaks_mask(c, robust_width), in_axes=1, out_axes=1
-        )(sig_in)
+        peaks = find_peaks_mask(sig_in.T, robust_width).T
         return peaks.astype(sig_in.dtype)
