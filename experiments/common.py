@@ -1,0 +1,143 @@
+"""Shared harness code for the experiment scripts (paper_plots equivalents).
+
+Each reference paper_plots script re-implements template synthesis, beam
+pattern computation and the Monte-Carlo accuracy sweep inline; here they are
+library functions, and every script is a thin config + main() that prints a
+metrics dict (and optionally saves figures when matplotlib is available).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+FS = 48_000
+SPEECH_FLAC = "/root/reference/paper_plots/84-121123-0020.flac"
+
+
+# ------------------------------------------------------------------ templates
+def sinusoid_template(freq: float, duration: float, fs: float = FS):
+    t = np.arange(0, duration, 1 / fs)
+    return t, np.sin(2 * np.pi * freq * t)
+
+
+def jittered_sinusoid_template(freq: float, duration: float, fs: float = FS, eps: float = 0.01, seed: int = 0):
+    """Sinusoid with small random frequency jitter — stabilizes zero-crossings
+    for SNN designs (paper_plots/array_resolution_linear_snn.py:173-181)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(0, duration, 1 / fs)
+    freq_inst = freq * (1 + eps * rng.standard_normal(len(t)))
+    phase = 2 * np.pi * np.cumsum(freq_inst) / fs
+    return t, np.sin(phase)
+
+
+def chirp_template(freq_range, duration: float, fs: float = FS):
+    """Linear chirp across the band (paper_plots/target_snn_localization.py:126-134)."""
+    f_min, f_max = freq_range
+    t = np.arange(0, duration, 1 / fs)
+    period = t[-1]
+    freq_inst = f_min + (f_max - f_min) * (t % period) / period
+    phase = 2 * np.pi * np.cumsum(freq_inst) / fs
+    return t, np.sin(phase)
+
+
+def bandlimited_noise_template(freq_range, duration: float, fs: float = FS, seed: int = 0):
+    """Wideband noise filtered to the band (paper_plots/array_resolution.py:194-286)."""
+    from haghighatshoarmuir2024_tpu.ops.iir import butter_bandpass, iir_filter
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(0, duration, 1 / fs)
+    noise = rng.standard_normal(len(t))
+    b, a = butter_bandpass(2, freq_range, fs)
+    sig = np.asarray(iir_filter(b, a, jnp.asarray(noise), axis=0, method="scan"))
+    return t, sig
+
+
+def speech_template(duration: Optional[float] = None, fs: float = FS):
+    """The LibriSpeech sample used by the reference speech benchmarks
+    (paper_plots/84-121123-0020.flac, target_localization.py:146-152), decoded
+    with the native FLAC reader; falls back to a synthetic speech-like signal
+    (formant-filtered pulse train with syllabic modulation) when unavailable.
+    """
+    sig = None
+    if os.path.exists(SPEECH_FLAC):
+        try:
+            from haghighatshoarmuir2024_tpu.io.flac import read_flac
+
+            data, file_fs = read_flac(SPEECH_FLAC)
+            sig = data[:, 0] if data.ndim > 1 else data
+            if file_fs != fs:
+                t_old = np.arange(len(sig)) / file_fs
+                t_new = np.arange(0, t_old[-1], 1 / fs)
+                sig = np.interp(t_new, t_old, sig)
+        except Exception:
+            sig = None
+    if sig is None:
+        # synthetic speech-like fallback
+        rng = np.random.default_rng(0)
+        dur = duration or 4.0
+        t = np.arange(0, dur, 1 / fs)
+        f0 = 120 * (1 + 0.1 * np.sin(2 * np.pi * 2.3 * t))
+        glottal = np.sin(2 * np.pi * np.cumsum(f0) / fs) ** 9
+        syllable = 0.5 * (1 + np.sin(2 * np.pi * 3.1 * t + rng.uniform(0, np.pi)))
+        from haghighatshoarmuir2024_tpu.ops.iir import butter_bandpass, iir_filter
+
+        b, a = butter_bandpass(2, (300, 3400), fs)
+        sig = np.asarray(iir_filter(b, a, jnp.asarray(glottal * syllable), axis=0, method="scan"))
+    if duration is not None:
+        sig = sig[: int(duration * fs)]
+    t = np.arange(len(sig)) / fs
+    sig = sig / (np.abs(sig).max() + 1e-12)
+    return t, sig
+
+
+# --------------------------------------------------------------- beam pattern
+def beam_pattern(bf_mat, complex_fold: bool = False):
+    """Correlation matrix |bf^H bf| — the beam patterns plotted by
+    paper_plots/array_resolution.py (and the 2M-real complex re-fold of
+    array_resolution_snn.py:156-160).
+
+    Computed on device; only the real magnitude crosses to the host (the axon
+    TPU backend cannot transfer complex buffers)."""
+    bf = jnp.asarray(bf_mat)
+    if complex_fold:
+        m = bf.shape[0] // 2
+        bf = bf[:m] + 1j * bf[m:]
+    return np.asarray(jnp.abs(bf.conj().T @ bf))
+
+
+def beamwidth_3db(pattern_row: np.ndarray, doa_list: np.ndarray) -> float:
+    """-3 dB width (degrees) of one beam pattern row."""
+    p = pattern_row / pattern_row.max()
+    above = p >= (10 ** (-3 / 20))
+    frac = np.mean(above)
+    return float(frac * (doa_list.max() - doa_list.min()) * 180 / np.pi)
+
+
+# ------------------------------------------------------------ MC sweep driver
+def snr_sweep_config():
+    """The reference's standard sweep: SNR ∈ [-10, 20] dB, 11 points
+    (paper_plots/target_localization.py:210-300)."""
+    return np.linspace(-10, 20, 11)
+
+
+def summarize(result) -> dict:
+    return {
+        "snr_db": [float(s) for s in result["snr_db"]],
+        "mae_deg": [float(np.rad2deg(m)) for m in result["mae"]],
+        "median_deg": [float(np.rad2deg(m)) for m in result["median"]],
+    }
+
+
+def maybe_savefig(fig, name: str):
+    outdir = os.environ.get("HM2024_FIG_DIR")
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
+        fig.savefig(os.path.join(outdir, name), bbox_inches="tight")

@@ -105,6 +105,11 @@ def _read_audio(path: str) -> Tuple[np.ndarray, float]:
         if np.issubdtype(data.dtype, np.integer):
             data = data.astype(np.float64) / np.iinfo(data.dtype).max
         return np.asarray(data, dtype=np.float64), float(fs)
+    if ext == ".flac":
+        # bundled native decoder (native/flacdec.cpp)
+        from .flac import read_flac
+
+        return read_flac(path)
     try:
         import soundfile as sf
 
