@@ -1,0 +1,212 @@
+"""Streaming localization runtime — carried-state chunked processing.
+
+The reference processes audio in independent 0.25 s recordings with full
+transient re-settling per frame and Python/rockpool hops between stages
+(micloc/xylo_snn_localization.py:446-542).  Here the full
+encode→SNN→rate chain runs as ONE jitted step per chunk with all filter /
+encoder / neuron state carried on device, so multi-second (or infinite) audio
+streams through without host round-trips and without re-paying transients:
+
+* STHT: the quadrature FIR carries its K−1 tap history; the in-phase branch is
+  a true K/2-sample delay line (the reference's ``np.roll`` wrap-around is a
+  whole-signal operation — its first K/2 wrapped samples are start-of-stream
+  transient only, identical thereafter).
+* Bandpass+integration IIR: transposed DF2 state carried exactly
+  (cumsum is folded into the denominator as in the offline pipeline).
+* RZCC: peak decisions need lookahead (local-max + distance suppression), so
+  the last ``pending`` samples of each chunk stay undecided until the next
+  chunk arrives; a ``guard`` window of already-decided samples precedes the
+  analysis buffer so suppression works across the seam.  For the RZCC signal
+  class (bandpassed oscillation, genuine peaks ≥ 2·robust_width apart)
+  decisions match the offline encoder exactly; pathological suppression
+  chains longer than the pending window are the only divergence.
+* Integer LIF: isyn/vmem/spike state carried exactly (bit-identical to the
+  offline simulator fed the same spikes).
+
+Emitted spike counts lag the input by ``pending`` samples — the price of
+streaming causality.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class StreamState(NamedTuple):
+    fir_tail: jnp.ndarray  # (K-1, M) raw-signal history for the quadrature FIR
+    delay_line: jnp.ndarray  # (K//2, M) in-phase delay
+    iir_state: jnp.ndarray  # (C, N_state) integrated-bandpass filter state
+    pending: jnp.ndarray  # (guard + P, C) undecided integrated samples
+    isyn: jnp.ndarray  # (N,) int32
+    vmem: jnp.ndarray  # (N,) int32
+    spk: jnp.ndarray  # (N,) int32
+    counts: jnp.ndarray  # (N,) int32 accumulated hidden spikes
+    steps: jnp.ndarray  # () int32 decided timesteps so far
+
+
+class StreamingLocalizer:
+    """Streaming twin of the quantized pipeline (models.xylo.Demo)."""
+
+    def __init__(self, demo, pending: int = None):
+        self.demo = demo
+        self.kernel = np.asarray(demo.beamfs[0].kernel, dtype=np.float32)
+        self.K = len(self.kernel)
+        self.rw = demo.beamfs[0].robust_width
+        self.guard = 2 * self.rw
+        self.pending = pending if pending is not None else 4 * self.rw
+        self.num_mic = len(demo.geometry)
+        self.bipolar = demo.bipolar_spikes
+
+        # integrated-bandpass coefficient set per band (cumsum folded in)
+        from ..ops.iir import _tdf2_matrices
+
+        self._filters = []
+        for b, a in demo.filterbank.ba_list:
+            a_int = np.convolve(np.asarray(a), [1.0, -1.0])
+            A, Bv, b0 = _tdf2_matrices(np.asarray(b), a_int)
+            self._filters.append((A, Bv, b0, np.asarray(b), a_int))
+        self.C = 2 * self.num_mic * len(self._filters)
+        self.N_state = self._filters[0][0].shape[0]
+
+        cfg = demo.xylo_config
+        self._cfg = cfg
+        wr = np.asarray(cfg.w_rec)
+        self._rec_coef = int(wr.flat[0]) if wr.size and np.all(wr == wr.flat[0]) else None
+        if self._rec_coef is None:
+            raise ValueError("streaming runtime supports uniform w_rec only")
+
+    def init_state(self) -> StreamState:
+        cfg = self._cfg
+        n = cfg.n_hidden
+        z = lambda *s: jnp.zeros(s, jnp.float32)
+        return StreamState(
+            fir_tail=z(self.K - 1, self.num_mic),
+            delay_line=z(self.K // 2, self.num_mic),
+            iir_state=z(self.C // len(self._filters) * len(self._filters), self.N_state),
+            pending=z(self.guard + self.pending, self.C),
+            isyn=jnp.zeros(n, jnp.int32),
+            vmem=jnp.zeros(n, jnp.int32),
+            spk=jnp.zeros(n, jnp.int32),
+            counts=jnp.zeros(n, jnp.int32),
+            steps=jnp.zeros((), jnp.int32),
+        )
+
+    @functools.cached_property
+    def _step_jit(self):
+        from ..ops.fir import fir_filter
+        from ..ops.peaks import find_peaks_mask
+
+        kernel = jnp.asarray(self.kernel)
+        K, rw, guard, pending = self.K, self.rw, self.guard, self.pending
+        filters = self._filters
+        num_mic = self.num_mic
+        bipolar = self.bipolar
+        cfg = self._cfg
+        w_in = jnp.asarray(cfg.w_in, jnp.float32)
+        dash_syn = jnp.asarray(cfg.dash_syn, jnp.int32)
+        dash_mem = jnp.asarray(cfg.dash_mem, jnp.int32)
+        threshold = jnp.asarray(cfg.threshold, jnp.int32)
+        rec_coef = self._rec_coef
+
+        def lif_scan(carry, inp_t):
+            isyn, vmem, spk = carry
+            cur = inp_t + rec_coef * jnp.sum(spk)
+            isyn = jnp.clip(
+                isyn - jax.lax.shift_right_arithmetic(isyn, dash_syn) + cur.astype(jnp.int32),
+                -(2**15), 2**15 - 1,
+            )
+            vmem = jnp.clip(
+                vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn,
+                -(2**15), 2**15 - 1,
+            )
+            spk_new = (vmem >= threshold).astype(jnp.int32)
+            vmem = vmem - spk_new * threshold
+            return (isyn, vmem, spk_new), spk_new
+
+        @jax.jit
+        def step(state: StreamState, chunk):
+            Tc = chunk.shape[0]
+            # --- STHT streaming
+            ext = jnp.concatenate([state.fir_tail, chunk], axis=0)
+            quad = fir_filter(kernel, ext, axis=0)[K - 1 :]
+            line = jnp.concatenate([state.delay_line, chunk], axis=0)
+            inphase = line[:Tc]
+            new_delay = line[Tc:]
+            new_tail = ext[-(K - 1) :]
+            sig_real = jnp.concatenate([inphase, quad], axis=1)  # (Tc, 2M)
+
+            # --- integrated bandpass per band with carried state
+            outs = []
+            states = []
+            ch_per_band = 2 * num_mic
+            for i, (A, Bv, b0, b, a_int) in enumerate(filters):
+                from ..ops.iir import iir_filter
+
+                zi = state.iir_state[i * ch_per_band : (i + 1) * ch_per_band]
+                y, zf = iir_filter(
+                    b, a_int, sig_real, axis=0, method="scan",
+                    zi=zi, return_state=True,
+                )
+                outs.append(y)
+                states.append(zf)
+            integrated = jnp.concatenate(outs, axis=1)  # (Tc, C)
+            new_iir = jnp.concatenate(states, axis=0)
+
+            # --- RZCC with guard+pending seam
+            analysis = jnp.concatenate([state.pending, integrated], axis=0)
+            cs = analysis.T  # (C, guard+P+Tc)
+            both = jnp.concatenate([cs, -cs], axis=0) if bipolar else cs
+            masks = find_peaks_mask(both, rw)
+            # decide [guard, guard + Tc) — i.e. the previous pending plus the
+            # part of this chunk older than the new pending window
+            decided = masks[:, guard : guard + Tc]
+            if bipolar:
+                Cn = cs.shape[0]
+                peaks, valleys = decided[:Cn], decided[Cn:]
+                pos = (peaks & ~valleys).astype(jnp.int32)
+                neg = valleys.astype(jnp.int32)
+                spikes = jnp.concatenate([pos.T, neg.T], axis=1)  # (Tc, 2C)
+            else:
+                spikes = decided.T.astype(jnp.int32)
+            new_pending = analysis[Tc:]
+
+            # --- integer LIF with carried state
+            inp = jnp.dot(spikes.astype(jnp.float32), w_in, preferred_element_type=jnp.float32)
+            (isyn, vmem, spk), spk_seq = jax.lax.scan(
+                lif_scan, (state.isyn, state.vmem, state.spk), inp
+            )
+            counts = state.counts + jnp.sum(spk_seq, axis=0)
+            steps = state.steps + Tc
+
+            new_state = StreamState(
+                fir_tail=new_tail,
+                delay_line=new_delay,
+                iir_state=new_iir,
+                pending=new_pending,
+                isyn=isyn,
+                vmem=vmem,
+                spk=spk,
+                counts=counts,
+                steps=steps,
+            )
+            return new_state, spikes
+
+        return step
+
+    def process_chunk(self, state: StreamState, chunk):
+        """One chunk in, (new_state, decided input-spike raster) out."""
+        return self._step_jit(state, jnp.asarray(chunk, jnp.float32))
+
+    def rate(self, state: StreamState):
+        """Current per-DoA spike-rate estimate from the accumulated counts."""
+        num_DoA = len(self.demo.doa_list)
+        steps = jnp.maximum(state.steps, 1)
+        r = state.counts.astype(jnp.float32) / steps * self.demo.fs
+        return r.reshape(-1, num_DoA).mean(0)
+
+    def estimate_doa(self, state: StreamState, method: str = "peak"):
+        return self.demo.estimate_doa_from_rate(self.rate(state), method)

@@ -1,0 +1,105 @@
+"""Streaming runtime: chunked carried-state execution matches the offline
+pipeline (modulo the documented P-sample decision delay and the offline
+np.roll start-of-stream transient)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from haghighatshoarmuir2024_tpu import CenterCircularArray
+from haghighatshoarmuir2024_tpu.models.xylo import Demo
+from haghighatshoarmuir2024_tpu.runtime import StreamingLocalizer
+from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+
+FS = 48_000
+
+
+@pytest.fixture(scope="module")
+def demo():
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    return Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900]],
+        doa_list=np.linspace(-np.pi, np.pi, 65),
+        recording_duration=0.25,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+    )
+
+
+def _signal(demo, duration=1.0, doa=0.7, snr_db=10.0, seed=0):
+    t = np.arange(0, duration, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    clean = np.asarray(signal_from_template(demo.geometry, t, sig, doa, fs=FS))
+    rng = np.random.default_rng(seed)
+    sigma = np.sqrt((clean**2).mean() / 10 ** (snr_db / 10))
+    return clean + sigma * rng.standard_normal(clean.shape)
+
+
+def test_streaming_spikes_match_offline(demo):
+    sig = _signal(demo, duration=0.5)
+    T = sig.shape[0]
+    sl = StreamingLocalizer(demo)
+    P = sl.pending
+    K = sl.K
+
+    # stream in 5 chunks
+    state = sl.init_state()
+    outs = []
+    Tc = T // 5
+    for k in range(5):
+        state, spikes = sl.process_chunk(state, sig[k * Tc : (k + 1) * Tc])
+        outs.append(np.asarray(spikes))
+    stream_spikes = np.concatenate(outs, axis=0)
+
+    offline = np.asarray(demo.spike_encoding(sig))
+
+    # decided stream position i corresponds to absolute position i - P
+    a = stream_spikes[P:]
+    b = offline[: a.shape[0]]
+    # ignore the start-of-stream region where the offline np.roll wraps the
+    # signal end into the in-phase branch: the wrapped K/2 samples differ and
+    # the narrowband IIR tail of that difference takes ~10s of ms to decay
+    settle = 10 * K
+    mism = np.flatnonzero(np.any(a[settle:] != b[settle:], axis=1))
+    assert mism.size == 0, f"{mism.size} mismatching timesteps, first at {mism[:5]}"
+
+
+def test_streaming_state_carries_lif_exactly(demo):
+    """Feeding the same decided spikes through the offline simulator must give
+    the same hidden counts as the streaming accumulation."""
+    from haghighatshoarmuir2024_tpu.models.xylo.sim import sim_hidden_batch
+
+    sig = _signal(demo, duration=0.4)
+    sl = StreamingLocalizer(demo)
+    state = sl.init_state()
+    outs = []
+    Tc = sig.shape[0] // 4
+    for k in range(4):
+        state, spikes = sl.process_chunk(state, sig[k * Tc : (k + 1) * Tc])
+        outs.append(np.asarray(spikes))
+    stream_spikes = np.concatenate(outs, axis=0)
+    ref_counts = np.asarray(
+        sim_hidden_batch(demo.xylo_config, stream_spikes[None].astype(np.int32))
+    )[0].sum(axis=0)
+    np.testing.assert_array_equal(np.asarray(state.counts), ref_counts)
+
+
+def test_streaming_doa_estimate(demo):
+    doa_true = 0.7
+    sig = _signal(demo, duration=1.0, doa=doa_true, snr_db=10.0)
+    sl = StreamingLocalizer(demo)
+    state = sl.init_state()
+    Tc = 4800  # 0.1 s chunks
+    for k in range(sig.shape[0] // Tc):
+        state, _ = sl.process_chunk(state, sig[k * Tc : (k + 1) * Tc])
+    est = float(sl.estimate_doa(state))
+    err = np.rad2deg(np.arcsin(abs(np.sin(est - doa_true))))
+    assert err < 25.0, (est, err)
+
+    # offline single-shot comparison: same estimate class
+    doa_off, _ = demo.forward(sig[: 4800 * (sig.shape[0] // Tc)])
+    err_off = np.rad2deg(np.arcsin(abs(np.sin(float(doa_off) - doa_true))))
+    assert abs(err - err_off) < 10.0
