@@ -104,13 +104,19 @@ def beam_pattern(bf_mat, complex_fold: bool = False):
     paper_plots/array_resolution.py (and the 2M-real complex re-fold of
     array_resolution_snn.py:156-160).
 
-    Computed on device; only the real magnitude crosses to the host (the axon
-    TPU backend cannot transfer complex buffers)."""
-    bf = jnp.asarray(bf_mat)
-    if complex_fold:
-        m = bf.shape[0] // 2
-        bf = bf[:m] + 1j * bf[m:]
-    return np.asarray(jnp.abs(bf.conj().T @ bf))
+    Fully jitted: the axon TPU backend supports complex only inside compiled
+    programs (eager complex ops and complex host transfers are unimplemented),
+    so the fold/matmul/abs run as one program and only the real magnitude
+    crosses to the host."""
+
+    @jax.jit
+    def _pat(bf):
+        if complex_fold:
+            m = bf.shape[0] // 2
+            bf = jax.lax.complex(bf[:m], bf[m:])
+        return jnp.abs(bf.conj().T @ bf)
+
+    return np.asarray(_pat(jnp.asarray(bf_mat)))
 
 
 def beamwidth_3db(pattern_row: np.ndarray, doa_list: np.ndarray) -> float:

@@ -54,27 +54,48 @@ def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
     sig_h = stht(sig_in, kernel, axis=0)
     sig_real = jnp.concatenate([sig_h.real, sig_h.imag], axis=1)  # (T, 2M)
 
-    css = [
-        iir_filter(
-            np.asarray(b),
-            np.convolve(np.asarray(a), [1.0, -1.0]),
-            sig_real,
-            axis=0,
-            method="scan",
-        )
-        for b, a in bas
-    ]
+    if jax.default_backend() == "tpu":
+        # stable bandpass in lifted block form (batched MXU matmuls + a
+        # 32x-shorter scan), then the integrator as a cumsum — the lifted
+        # matrices of the marginally-stable integrated filter do not survive
+        # float32, so the integrator stays separate on TPU
+        css = [
+            jnp.cumsum(
+                iir_filter(np.asarray(b), np.asarray(a), sig_real, axis=0, method="blocked"),
+                axis=0,
+            )
+            for b, a in bas
+        ]
+    else:
+        css = [
+            iir_filter(
+                np.asarray(b),
+                np.convolve(np.asarray(a), [1.0, -1.0]),
+                sig_real,
+                axis=0,
+                method="scan",
+            )
+            for b, a in bas
+        ]
     cs_all = jnp.concatenate(css, axis=1).T  # channel-major (C, T)
 
-    both = jnp.concatenate([cs_all, -cs_all], axis=0) if bipolar else cs_all
-    masks = find_peaks_mask(both, robust_width)
+    # bounded plateau search: exact for continuous signals, avoids full-length
+    # cummax passes; one encoded boundary pass yields both polarities
+    # (see ops/peaks.local_extrema_mask_bounded)
+    from ...ops.peaks import local_extrema_mask_bounded, select_by_distance
+
+    maxima, minima = local_extrema_mask_bounded(cs_all, 2 * robust_width)
     if bipolar:
+        cand = jnp.concatenate([maxima, minima], axis=0)
+        heights = jnp.concatenate([cs_all, -cs_all], axis=0)
+        masks = select_by_distance(cand, heights, robust_width)
         C = cs_all.shape[0]
         peaks, valleys = masks[:C], masks[C:]
         # reference overwrite semantics: −1 wins on collision
         pos = (peaks & ~valleys).astype(jnp.int32)
         neg = valleys.astype(jnp.int32)
         return jnp.concatenate([pos.T, neg.T], axis=1)  # (T, 2C)
+    masks = select_by_distance(maxima, cs_all, robust_width)
     return masks.T.astype(jnp.int32)
 
 

@@ -72,6 +72,40 @@ def _cached_powers(key, log2T: int):
     return np.stack(pows)  # (log2T, N, N)
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_block_matrices(b_key, a_key, SB: int):
+    """Lifted SB-sample block form of the recurrence (host, float64):
+
+        y_blk = G @ x_blk + H @ s_in        (intra-block, batched matmuls)
+        s_out = A^SB @ s_in + Bm @ x_blk    (inter-block, tiny scan)
+
+    G = lower-triangular Toeplitz of the truncated impulse response,
+    H[j] = c·A^j (observability), Bm[:, i] = A^{SB-1-i}·B (controllability).
+    """
+    b = np.asarray(b_key, np.float64)
+    a = np.asarray(a_key, np.float64)
+    A, Bv, b0 = _tdf2_matrices(b, a)
+    N = A.shape[0]
+    c = np.zeros(N)
+    c[0] = 1.0
+
+    Apow = [np.eye(N)]
+    for _ in range(SB):
+        Apow.append(A @ Apow[-1])
+
+    G = np.zeros((SB, SB))
+    H = np.zeros((SB, N))
+    Bm = np.zeros((N, SB))
+    for j in range(SB):
+        H[j] = c @ Apow[j]
+        G[j, j] = b0
+        for i in range(j):
+            G[j, i] = c @ Apow[j - 1 - i] @ Bv
+    for i in range(SB):
+        Bm[:, i] = Apow[SB - 1 - i] @ Bv
+    return G, H, Bm, Apow[SB]
+
+
 def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_state: bool = False):
     """Apply the IIR filter defined by (b, a) along ``axis``.
 
@@ -134,6 +168,43 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
         if return_state:
             return y, s_fin
         return y
+
+    if method == "blocked":
+        if zi is not None or return_state:
+            raise ValueError("zi/return_state require method='scan'")
+        SB = 32
+        G_np, H_np, Bm_np, ASB_np = _cached_block_matrices(
+            tuple(np.asarray(b, np.float64).tolist()),
+            tuple(np.asarray(a, np.float64).tolist()),
+            SB,
+        )
+        # NOTE: only safe for stable filters — the lifted matrices round in the
+        # working dtype, and pole powers amplify that for marginally-stable
+        # systems (use scan, or split out integrators, in that case).
+        batch_shape = xm.shape[1:]
+        xf = xm.reshape(T, -1)
+        L = xf.shape[1]
+        pad = (-T) % SB
+        if pad:
+            xf = jnp.concatenate([xf, jnp.zeros((pad, L), xf.dtype)], axis=0)
+        nb = xf.shape[0] // SB
+        xb = xf.reshape(nb, SB, L)
+        G = jnp.asarray(G_np, dtype=rdtype)
+        H = jnp.asarray(H_np, dtype=rdtype)
+        Bm = jnp.asarray(Bm_np, dtype=rdtype)
+        ASB = jnp.asarray(ASB_np, dtype=rdtype)
+
+        yP = jnp.einsum("ji,bil->bjl", G, xb)
+        sP = jnp.einsum("ni,bil->bnl", Bm, xb)
+
+        def blk(s, sp):
+            return ASB @ s + sp, s
+
+        s0 = jnp.zeros((N, L), xf.dtype)
+        _, s_prev = jax.lax.scan(blk, s0, sP)
+        y = yP + jnp.einsum("jn,bnl->bjl", H, s_prev)
+        y = y.reshape(nb * SB, L)[:T].reshape((T,) + batch_shape)
+        return jnp.moveaxis(y, 0, axis)
 
     if method == "parallel":
         if zi is not None or return_state:

@@ -81,16 +81,156 @@ def local_maxima_mask(x):
     return rising_into & falling_out & (p == (l + r) // 2)
 
 
+def _shift_right(v, k: int, fill):
+    pad = jnp.full(v.shape[:-1] + (k,), fill, v.dtype)
+    return jnp.concatenate([pad, v[..., :-k]], axis=-1)
+
+
 def _window_max(v, w: int):
     """Max over a centered window of full width ``2*w + 1`` along the last
-    axis (same length out; leading dims are batch)."""
-    dims = (1,) * (v.ndim - 1) + (2 * w + 1,)
-    strides = (1,) * v.ndim
-    padding = ((0, 0),) * (v.ndim - 1) + ((w, w),)
-    return jax.lax.reduce_window(
-        v, -jnp.inf, jax.lax.max, window_dimensions=dims,
-        window_strides=strides, padding=padding,
-    )
+    axis (same length out; leading dims are batch).
+
+    Log-dilated doubling (O(log w) shift+max passes) — substantially cheaper
+    on TPU than a width-(2w+1) ``reduce_window``.
+    """
+    neg_inf = jnp.array(-jnp.inf, v.dtype) if jnp.issubdtype(v.dtype, jnp.floating) else jnp.iinfo(v.dtype).min
+    L = 2 * w + 1
+    T = v.shape[-1]
+    # pad right so the centered window is exact at the signal end, then
+    # trailing max over [i-L+1, i] via Hillis-Steele doubling
+    y = jnp.concatenate([v, jnp.full(v.shape[:-1] + (w,), neg_inf, v.dtype)], axis=-1)
+    k = 1
+    while k < L:
+        step = min(k, L - k)
+        y = jnp.maximum(y, _shift_right(y, step, neg_inf))
+        k += step
+    # center: cmax[i] = trailing[i + w]
+    return y[..., w : w + T]
+
+
+def local_maxima_mask_bounded(x, max_plateau: int):
+    """Local maxima with the plateau search bounded to ``max_plateau`` samples.
+
+    Identical to :func:`local_maxima_mask` whenever no run of exactly-equal
+    values exceeds ``max_plateau`` — true for any continuous-valued signal
+    (runs of equal floats are digital silence).  The bounded search replaces
+    the O(log T) full-length cummax/cummin passes with O(log max_plateau)
+    dilated shift-max passes, a large win on long signals; the hot encode
+    path uses this with ``max_plateau = 2·robust_width`` (a plateau longer
+    than that carries no spike anyway — peaks closer than robust_width are
+    suppressed, and true silence has no peaks).
+    """
+    x = jnp.asarray(x)
+    T = x.shape[-1]
+    d = jnp.sign(x[..., 1:] - x[..., :-1])
+    idx = jnp.arange(T - 1, dtype=jnp.int32)
+    W = int(max_plateau)
+    big = jnp.int32(T)
+    neg = jnp.int32(-1)
+
+    def trailing_max(v, L, fill):
+        y = v
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            y = jnp.maximum(y, _shift_right(y, step, fill))
+            k += step
+        return y
+
+    def leading_min(v, L, fill):
+        y = v
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            pad = jnp.full(v.shape[:-1] + (step,), fill, v.dtype)
+            y = jnp.minimum(y, jnp.concatenate([y[..., step:], pad], axis=-1))
+            k += step
+        return y
+
+    # last +1/-1 boundary within the trailing window, strictly before p
+    last_pos = trailing_max(jnp.where(d == 1, idx, neg), W, neg)
+    last_neg = trailing_max(jnp.where(d == -1, idx, neg), W, neg)
+    pad1 = jnp.full(x.shape[:-1] + (1,), -1, jnp.int32)
+    last_pos = jnp.concatenate([pad1, last_pos], axis=-1)
+    last_neg = jnp.concatenate([pad1, last_neg], axis=-1)
+
+    # next +1/-1 boundary within the leading window, at/after p
+    next_pos = leading_min(jnp.where(d == 1, idx, big), W, big)
+    next_neg = leading_min(jnp.where(d == -1, idx, big), W, big)
+    padb = jnp.full(x.shape[:-1] + (1,), T, jnp.int32)
+    next_pos = jnp.concatenate([next_pos, padb], axis=-1)
+    next_neg = jnp.concatenate([next_neg, padb], axis=-1)
+
+    rising_into = last_pos > last_neg
+    falling_out = next_neg < next_pos
+    l = last_pos + 1
+    r = next_neg
+    p = jnp.arange(T, dtype=jnp.int32)
+    return rising_into & falling_out & (p == (l + r) // 2)
+
+
+def local_extrema_mask_bounded(x, max_plateau: int):
+    """Bounded-plateau local maxima AND minima of ``x`` in one pass pair.
+
+    The run boundaries of ``x`` and ``-x`` are identical — only the rise/fall
+    test flips — so both polarities come from a single trailing-max and a
+    single leading-min over *sign-encoded* boundary indices (``2·idx + (d>0)``:
+    the max/min picks the nearest boundary, the low bit recovers its sign).
+    Uses int16 encoding when the length permits (halves the pool traffic).
+
+    Returns ``(maxima_mask, minima_mask)``; each equals
+    ``local_maxima_mask_bounded(±x, max_plateau)``.
+    """
+    x = jnp.asarray(x)
+    T = x.shape[-1]
+    d = jnp.sign(x[..., 1:] - x[..., :-1])
+    W = int(max_plateau)
+    idt = jnp.int16 if 2 * T + 1 < 2**15 - 1 else jnp.int32
+    idx = jnp.arange(T - 1, dtype=idt)
+    enc = jnp.where(d != 0, 2 * idx + (d == 1).astype(idt), idt(-1))
+    big = idt(jnp.iinfo(idt).max)
+    encN = jnp.where(d != 0, 2 * idx + (d == 1).astype(idt), big)
+
+    def trailing_max(v, L, fill):
+        y = v
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            y = jnp.maximum(y, _shift_right(y, step, fill))
+            k += step
+        return y
+
+    def leading_min(v, L, fill):
+        y = v
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            pad = jnp.full(v.shape[:-1] + (step,), fill, v.dtype)
+            y = jnp.minimum(y, jnp.concatenate([y[..., step:], pad], axis=-1))
+            k += step
+        return y
+
+    last = trailing_max(enc, W, idt(-1))
+    pad1 = jnp.full(x.shape[:-1] + (1,), -1, idt)
+    last = jnp.concatenate([pad1, last], axis=-1)  # strictly-before shift
+
+    nxt = leading_min(encN, W, big)
+    padb = jnp.full(x.shape[:-1] + (1,), big, idt)
+    nxt = jnp.concatenate([nxt, padb], axis=-1)
+
+    has_last = last >= 0
+    last_rise = has_last & ((last & 1) == 1)
+    has_next = nxt < big
+    next_fall = has_next & ((nxt & 1) == 0)
+
+    l = (last >> 1).astype(jnp.int32) + 1  # valid only when has_last
+    r = (nxt >> 1).astype(jnp.int32)
+    p = jnp.arange(T, dtype=jnp.int32)
+    mid_ok = p == (l + r) // 2
+
+    maxima = last_rise & next_fall & mid_ok
+    minima = (has_last & ~last_rise) & (has_next & ~next_fall) & mid_ok
+    return maxima, minima
 
 
 def select_by_distance(cand_mask, height, distance):
@@ -113,7 +253,9 @@ def select_by_distance(cand_mask, height, distance):
         return cand_mask
     fdtype = height.dtype if jnp.issubdtype(height.dtype, jnp.floating) else jnp.float32
     height = height.astype(fdtype)
-    idx = jnp.arange(T)
+    # narrow integer types for the index/mask pools (halves pool traffic)
+    idt = jnp.int16 if T < 2**15 - 1 else jnp.int32
+    idx = jnp.arange(T, dtype=idt)
     neg_inf = jnp.array(-jnp.inf, dtype=fdtype)
 
     def cond(state):
@@ -126,11 +268,11 @@ def select_by_distance(cand_mask, height, distance):
         wmax = _window_max(h, w)
         top = active & (h == wmax) & jnp.isfinite(h)
         # rightmost tiebreak among window-maxima (all equal-height within a window)
-        tid = jnp.where(top, idx, -1)
-        wtid = _window_max(tid.astype(fdtype), w).astype(idx.dtype)
+        tid = jnp.where(top, idx, idt(-1))
+        wtid = _window_max(tid, w)
         winner = top & (wtid == idx)
         # delete candidates inside any winner's window
-        in_winner_win = _window_max(winner.astype(fdtype), w) > 0
+        in_winner_win = _window_max(winner.astype(jnp.int8), w) > 0
         kept = kept | winner
         active = active & ~in_winner_win
         return active, kept
@@ -141,12 +283,19 @@ def select_by_distance(cand_mask, height, distance):
     return kept
 
 
-def find_peaks_mask(x, distance=None):
+def find_peaks_mask(x, distance=None, max_plateau=None):
     """jit-compatible ``scipy.signal.find_peaks(x, distance=d)`` along the last
     axis, returning a boolean mask instead of an index list (static shapes for
-    XLA).  Leading dims are batch."""
+    XLA).  Leading dims are batch.
+
+    ``max_plateau``: bound the plateau search window (see
+    :func:`local_maxima_mask_bounded`) — exact for continuous-valued signals,
+    much faster on long inputs."""
     x = jnp.asarray(x)
-    cand = local_maxima_mask(x)
+    if max_plateau is None:
+        cand = local_maxima_mask(x)
+    else:
+        cand = local_maxima_mask_bounded(x, max_plateau)
     if distance is None or distance <= 1:
         return cand
     return select_by_distance(cand, x, distance)

@@ -160,7 +160,7 @@ class StreamingLocalizer:
             analysis = jnp.concatenate([state.pending, integrated], axis=0)
             cs = analysis.T  # (C, guard+P+Tc)
             both = jnp.concatenate([cs, -cs], axis=0) if bipolar else cs
-            masks = find_peaks_mask(both, rw)
+            masks = find_peaks_mask(both, rw, max_plateau=2 * rw)
             # decide [guard, guard + Tc) — i.e. the previous pending plus the
             # part of this chunk older than the new pending window
             decided = masks[:, guard : guard + Tc]

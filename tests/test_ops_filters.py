@@ -37,17 +37,17 @@ def test_fir_complex(rng):
 
 
 @pytest.mark.parametrize("order", [1, 2])
-@pytest.mark.parametrize("method", ["scan", "parallel"])
+@pytest.mark.parametrize("method", ["scan", "parallel", "blocked"])
 def test_iir_matches_lfilter(rng, order, method):
     fs = 48_000
     b, a = butter_bandpass(order, (1600, 1900), fs)
     x = rng.standard_normal((6000, 4))
     ref = lfilter(b, a, x, axis=0)
     got = np.asarray(iir_filter(b, a, x, axis=0, method=method))
-    # the parallel prefix form accumulates ~1e-9 abs error over long signals
+    # the parallel/blocked forms accumulate ~1e-9 abs error over long signals
     # (pole powers amplify rounding); the sequential scan is bit-faithful
     atol = 1e-9 if method == "scan" else 1e-7
-    np.testing.assert_allclose(got, ref, rtol=1e-5 if method == "parallel" else 1e-7, atol=atol)
+    np.testing.assert_allclose(got, ref, rtol=1e-7 if method == "scan" else 1e-5, atol=atol)
 
 
 def test_iir_complex(rng):

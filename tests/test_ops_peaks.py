@@ -137,3 +137,24 @@ def test_iaf_encoders_match_reference():
     thr2 = np.mean(np.abs(cs)) * fs / rate
     ref2 = np.diff(np.floor(np.cumsum(np.abs(cs), axis=0) / thr2), axis=0)
     np.testing.assert_allclose(np.asarray(enc2(sig)), ref2, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_bounded_variants_match_full(seed):
+    """Bounded-plateau and combined-extrema forms equal the exact masks for
+    continuous-valued signals."""
+    from haghighatshoarmuir2024_tpu.ops.peaks import (
+        local_maxima_mask_bounded,
+        local_extrema_mask_bounded,
+    )
+
+    rng = np.random.default_rng(seed)
+    x = np.cumsum(rng.standard_normal((4, 3000)), axis=-1).astype(np.float64)
+    xj = jnp.asarray(x)
+    full = np.asarray(local_maxima_mask(xj))
+    bounded = np.asarray(local_maxima_mask_bounded(xj, 24))
+    np.testing.assert_array_equal(bounded, full)
+    mx, mn = local_extrema_mask_bounded(xj, 24)
+    np.testing.assert_array_equal(np.asarray(mx), full)
+    full_min = np.asarray(local_maxima_mask(-xj))
+    np.testing.assert_array_equal(np.asarray(mn), full_min)
