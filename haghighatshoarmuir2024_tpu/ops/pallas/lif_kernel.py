@@ -155,7 +155,7 @@ def _lif_count_impl(spikes_tbc, w_in, dash_syn, dash_mem, threshold, rec_coef, t
     return counts[:, :N]
 
 
-def lif_count_rates(config, spikes_in_batch, time_chunk: int = 16):
+def lif_count_rates(config, spikes_in_batch, time_chunk: int = 32):
     """Hidden-layer spike counts (B, N_hid) of the quantized LIF network.
 
     Exactly matches summing ``sim_hidden_batch(config, spikes)`` over time
