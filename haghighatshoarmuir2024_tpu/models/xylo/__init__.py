@@ -16,6 +16,8 @@ from .quantize import (
 )
 from .sim import XyloSim, sim_hidden_batch
 from .pipeline import Demo
+from .push_to_hidden import DemoPushToHidden
+from .power import EnergyModel, count_operations, estimate_power
 
 XyloLocalizer = Demo  # descriptive alias
 
@@ -31,5 +33,9 @@ __all__ = [
     "XyloSim",
     "sim_hidden_batch",
     "Demo",
+    "DemoPushToHidden",
     "XyloLocalizer",
+    "EnergyModel",
+    "count_operations",
+    "estimate_power",
 ]

@@ -7,14 +7,16 @@ from .cache import DesignCache, design_cache_key
 
 def to_numpy(x):
     """Device→host transfer that works for complex arrays on backends that
-    cannot transfer complex buffers (the axon TPU runtime): real and imaginary
-    parts travel separately."""
+    support complex only inside compiled programs (the axon TPU runtime):
+    real/imag are split by a jitted program and travel separately."""
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     x = jnp.asarray(x)
     if jnp.iscomplexobj(x):
-        return np.asarray(x.real) + 1j * np.asarray(x.imag)
+        re, im = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))(x)
+        return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(x)
 
 
