@@ -113,6 +113,17 @@ class Beamformer:
             tuple(self.bandpass_filter[1].tolist()),
         )
 
+    @classmethod
+    def from_config(cls, config, geometry: ArrayGeometry):
+        """Construct from a :class:`~haghighatshoarmuir2024_tpu.config.BeamformerConfig`."""
+        return cls(
+            geometry=geometry,
+            kernel_duration=config.kernel_duration,
+            freq_range=config.freq_range,
+            fs=config.fs,
+            design_chunk=config.design_chunk,
+        )
+
     # ------------------------------------------------------------------ design
     def design_from_template(
         self, template: Tuple[np.ndarray, np.ndarray], doa_list, interference_removal: bool = False

@@ -102,6 +102,17 @@ class MUSIC:
         # non-normalized steering delays, (M, G) (micloc/music_beamformer.py:76-81)
         self.delays = self.geometry.delays_np(self.doa_list, normalized=False).T
 
+    @classmethod
+    def from_config(cls, config, geometry: ArrayGeometry, doa_list):
+        """Construct from a :class:`~haghighatshoarmuir2024_tpu.config.MUSICConfig`."""
+        return cls(
+            geometry=geometry,
+            freq_range=config.freq_range,
+            doa_list=doa_list,
+            frame_duration=config.frame_duration,
+            fs=config.fs,
+        )
+
     def array_response(self, freq_list):
         """Steering tensor ``num_freq x num_mic x num_DoA``
         (micloc/music_beamformer.py:64-89)."""

@@ -126,6 +126,19 @@ class SNNBeamformer:
             fs=fs, robust_width=self.robust_width, bipolar=self.bipolar_spikes
         )
 
+    @classmethod
+    def from_config(cls, config, geometry: ArrayGeometry):
+        """Construct from a :class:`~haghighatshoarmuir2024_tpu.config.SNNBeamformerConfig`."""
+        return cls(
+            geometry=geometry,
+            kernel_duration=config.kernel_duration,
+            freq_range=config.freq_range,
+            tau_vec=[config.tau_syn, config.tau_mem],
+            bipolar_spikes=config.bipolar_spikes,
+            fs=config.fs,
+            design_chunk=config.design_chunk,
+        )
+
     def _neuron_ir(self, T: int) -> np.ndarray:
         tau_syn, tau_mem = float(self.tau_vec[0]), float(self.tau_vec[1])
         return lif_impulse_response(tau_syn, tau_mem, self.fs, max_len=T)

@@ -3,6 +3,8 @@
 from .peak_location import find_peak_location
 from .stats import analyze_doa_samples, mae, window_median
 from .cache import DesignCache, design_cache_key
+from .isotonic import approx_decreasing, isotonic_increasing
+from .profiling import StageTimer, benchmark_fn, device_trace
 
 
 def to_numpy(x):
@@ -28,4 +30,9 @@ __all__ = [
     "DesignCache",
     "design_cache_key",
     "to_numpy",
+    "isotonic_increasing",
+    "approx_decreasing",
+    "StageTimer",
+    "benchmark_fn",
+    "device_trace",
 ]

@@ -131,3 +131,55 @@ def test_monte_carlo_unsharded_matches_sharded():
     r1 = monte_carlo_sweep(trial, [10.0], 8, jax.random.PRNGKey(1))
     r2 = monte_carlo_sweep(trial, [10.0], 8, jax.random.PRNGKey(1), mesh=make_mesh(8))
     np.testing.assert_allclose(r1["errors"], r2["errors"], rtol=1e-6)
+
+
+def test_isotonic_pav():
+    from haghighatshoarmuir2024_tpu.utils import approx_decreasing, isotonic_increasing
+
+    rng = np.random.default_rng(0)
+    y = np.sort(rng.standard_normal(50)) + 0.3 * rng.standard_normal(50)
+    fit = isotonic_increasing(y)
+    assert np.all(np.diff(fit) >= -1e-12)
+    # L2 optimality sanity: projection is idempotent and no worse than input
+    np.testing.assert_allclose(isotonic_increasing(fit), fit)
+    assert np.sum((fit - y) ** 2) <= np.sum((np.sort(y) - y) ** 2) + 1e-9
+
+    dec = approx_decreasing(y[::-1])
+    assert np.all(np.diff(dec) <= 1e-12)
+
+
+def test_stage_timer_and_benchmark():
+    import jax.numpy as jnp
+
+    from haghighatshoarmuir2024_tpu.utils import StageTimer, benchmark_fn
+
+    st = StageTimer()
+    with st.stage("a"):
+        _ = jnp.arange(10).sum()
+    f = st.timed("b", lambda x: x * 2)
+    f(jnp.ones(4))
+    rep = st.report()
+    assert set(rep) == {"a", "b"} and rep["b"]["calls"] == 1
+
+    import jax
+
+    res = benchmark_fn(jax.jit(lambda x: x + 1), jnp.zeros(128), iters=3)
+    assert res["mean_s"] > 0
+
+
+def test_model_from_config():
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.config import (
+        BeamformerConfig,
+        MUSICConfig,
+        SNNBeamformerConfig,
+    )
+    from haghighatshoarmuir2024_tpu.models import MUSIC, Beamformer, SNNBeamformer
+
+    geo = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    bf = Beamformer.from_config(BeamformerConfig(), geo)
+    assert bf.fs == 48_000 and len(bf.kernel) == 480
+    snn = SNNBeamformer.from_config(SNNBeamformerConfig(), geo)
+    assert snn.robust_width == (48_000 // 1900) // 2
+    m = MUSIC.from_config(MUSICConfig(), geo, np.linspace(-np.pi, np.pi, 8))
+    assert m.frame_duration == 0.25
