@@ -291,3 +291,32 @@ def test_estimate_doa_methods(demo):
         assert err < 0.2, (method, est)
     with pytest.raises(ValueError):
         d.estimate_doa_from_rate(rate, "nope")
+
+
+def test_multiband_pipeline():
+    """Two frequency bands: block-diagonal weights, per-band encoders, rate
+    folding over bands (micloc/xylo_snn_localization.py:195-208,388-398)."""
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 33)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    assert d.xylo_config.n_hidden == 2 * 33
+    assert d.xylo_config.n_in == 2 * 2 * 14  # bipolar x bands x 2M
+    t = np.arange(0, 0.1, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
+    sig_in = np.asarray(signal_from_template(d.geometry, t, sig, 0.5, fs=FS))
+    spikes = np.asarray(d.spike_encoding(sig_in))
+    assert spikes.shape == (4800, 2 * 2 * 14)
+    doa, rate = d.forward(sig_in)
+    assert np.asarray(rate).shape == (33,)
+    err = np.rad2deg(np.arcsin(abs(np.sin(float(doa) - 0.5))))
+    assert err < 35.0  # coarse grid + quantized path: sanity bound
