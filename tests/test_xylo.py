@@ -320,3 +320,35 @@ def test_multiband_pipeline():
     assert np.asarray(rate).shape == (33,)
     err = np.rad2deg(np.arcsin(abs(np.sin(float(doa) - 0.5))))
     assert err < 35.0  # coarse grid + quantized path: sanity bound
+
+
+def test_matched_profile_estimator():
+    """Calibrated profile matching removes the integer pipeline's absolute
+    bias: noiseless estimates land within one grid step of the truth (the
+    reference's peak/argmax class carries a multi-degree warp)."""
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 65)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    with pytest.raises(ValueError):
+        d.estimate_doa_from_rate(np.zeros(65), "matched")
+    d.calibrate_profiles(batch=16, use_cache=False)
+    t = np.arange(0, 0.1, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    grid_step = np.rad2deg(grid[1] - grid[0])
+    errs_m = []
+    for doa_true in (-2.0, -0.5, 1.1, 2.6):
+        sig_in = np.asarray(signal_from_template(geometry, t, sig, doa_true, fs=FS))
+        _, rate = d.forward(sig_in)
+        est = float(d.estimate_doa_from_rate(rate, "matched"))
+        errs_m.append(np.rad2deg(np.arcsin(abs(np.sin(est - doa_true)))))
+    assert max(errs_m) <= 1.5 * grid_step, errs_m
