@@ -21,7 +21,18 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: repeat runs skip the 1-5 min TPU compile
+    cache_dir = os.environ.get(
+        "HM2024_JAX_CACHE", os.path.expanduser("~/.cache/hm2024_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from haghighatshoarmuir2024_tpu import CenterCircularArray

@@ -51,7 +51,26 @@ def run(bipolar: bool = True, num_sims: int = 100, num_grid: int = 16 * 7, seed:
         return grid_j[idx]
 
     trial = make_trial_fn(geometry, t, sig, estimate, FS)
-    return monte_carlo_sweep(trial, snr_sweep_config(), num_sims, jax.random.PRNGKey(seed))
+    out = {
+        "reference_estimator": monte_carlo_sweep(
+            trial, snr_sweep_config(), num_sims, jax.random.PRNGKey(seed)
+        )
+    }
+
+    # this framework's matched-profile estimator (calibrated, bias-free)
+    demo.calibrate_profiles(template=(t, sig))
+    profiles = demo._profiles
+
+    def estimate_matched(sig_in):
+        _, rate = fwd(sig_in)
+        r = rate - jnp.mean(rate)
+        return grid_j[jnp.argmax(profiles @ r)]
+
+    trial_m = make_trial_fn(geometry, t, sig, estimate_matched, FS)
+    out["matched_estimator"] = monte_carlo_sweep(
+        trial_m, snr_sweep_config(), num_sims, jax.random.PRNGKey(seed)
+    )
+    return out
 
 
 def main():
@@ -64,7 +83,7 @@ def main():
         json.dumps(
             {
                 "experiment": f"target_xylo_{'bipolar' if bipolar else 'unipolar'}_localization",
-                "results": summarize(res),
+                "results": {k: summarize(v) for k, v in res.items()},
             },
             indent=2,
         )
