@@ -14,8 +14,6 @@ and sub-frames.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

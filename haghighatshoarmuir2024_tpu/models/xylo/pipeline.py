@@ -16,8 +16,6 @@ additionally exposes :meth:`forward` — the whole chain as one jitted function
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,12 +23,11 @@ import jax.numpy as jnp
 from ...config import FS
 from ...geometry import ArrayGeometry
 from ...ops.filterbank import ButterworthFilterbank
-from ...ops.spikes import rzcc_encode
 from ...ops.stht import stht
 from ..snn_beamformer import SNNBeamformer
-from .quantize import XyloConfig, global_quantize, validate_config
-from .sim import XyloSim, _sim_hidden, sim_hidden_batch
-from .spec import XyloSpec, build_localization_spec
+from .quantize import global_quantize, validate_config
+from .sim import XyloSim
+from .spec import build_localization_spec
 
 
 @functools.partial(
@@ -49,7 +46,6 @@ def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
     reference form in tests).
     """
     from ...ops.iir import iir_filter
-    from ...ops.peaks import find_peaks_mask
 
     sig_h = stht(sig_in, kernel, axis=0)
     sig_real = jnp.concatenate([sig_h.real, sig_h.imag], axis=1)  # (T, 2M)

@@ -17,7 +17,6 @@ import dataclasses
 from typing import Dict
 
 import numpy as np
-import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)

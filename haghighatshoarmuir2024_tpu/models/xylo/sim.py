@@ -28,9 +28,8 @@ harnesses check (paper_plots/target_xylo_localization.py).
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import jax

@@ -24,7 +24,7 @@ the filter runs on device.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

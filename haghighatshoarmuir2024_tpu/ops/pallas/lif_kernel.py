@@ -171,7 +171,6 @@ def lif_count_rates(config, spikes_in_batch, time_chunk: int = 32):
         # backend fallback (the reference's XyloSamna→XyloSim pattern,
         # micloc/xylo_snn_localization.py:292-313): identical integer dynamics
         # through the lax.scan simulator on CPU/GPU
-        from ..pallas import lif_kernel as _self  # noqa: F401  (doc anchor)
         from ...models.xylo.sim import sim_hidden_batch
 
         return sim_hidden_batch(config, jnp.asarray(spikes_in_batch, jnp.int32)).sum(axis=1)

@@ -15,7 +15,7 @@ multi-chip dry run.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
