@@ -99,3 +99,43 @@ def test_moving_average_full(rng):
     ref = np.convolve(np.ones(win), x, mode="full")
     got = np.asarray(moving_average_full(x, win))
     np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_hilbert_iir_fit_matches_reference_construction():
+    """Hankel least-squares IIR fit of the Hilbert kernel
+    (port of tests/test_hilbert_iir.py:18-57)."""
+    from scipy.linalg import hankel as scipy_hankel
+
+    from haghighatshoarmuir2024_tpu.ops.hilbert_iir import fit_hilbert_iir
+
+    fs, dur = 50_000, 10e-3
+    b_got, a_got, rel_err = fit_hilbert_iir(fs, dur, deg_MA=6, deg_AR=6)
+
+    # reference construction
+    impulse_len = int(dur * fs)
+    impulse = np.zeros(impulse_len)
+    impulse[0] = 1
+    kerh = np.imag(hilbert(impulse))[: impulse_len // 2]
+    L = len(kerh)
+    inp, out = impulse[:L], kerh
+    hM = scipy_hankel(inp[::-1])[::-1, :6]
+    hA = scipy_hankel(out[::-1])[::-1, 1:7]
+    A = np.concatenate([hM, hA], axis=1)
+    sol = np.linalg.lstsq(A, scipy_hankel(out[::-1])[::-1, 0], rcond=None)[0]
+    np.testing.assert_allclose(b_got, sol[:6], rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(a_got, [1, *(-sol[6:])], rtol=1e-6, atol=1e-9)
+    assert rel_err < 0.2  # low-order IIR approximates the kernel usably
+
+
+def test_hilbert_iir_analytic_runs():
+    from haghighatshoarmuir2024_tpu.ops.hilbert_iir import (
+        fit_hilbert_iir,
+        hilbert_iir_analytic,
+    )
+
+    fs = 48_000
+    b, a, _ = fit_hilbert_iir(fs, 10e-3)
+    t = np.arange(0, 0.1, 1 / fs)
+    sig = np.sin(2 * np.pi * 1750 * t)[:, None]
+    out = np.asarray(hilbert_iir_analytic(sig, b, a, group_delay=0))
+    assert out.shape == sig.shape and np.iscomplexobj(out)
