@@ -79,20 +79,24 @@ class StreamingLocalizer:
         if self._rec_coef is None:
             raise ValueError("streaming runtime supports uniform w_rec only")
 
-    def init_state(self) -> StreamState:
+    def init_state(self, batch: int = None) -> StreamState:
+        """Fresh stream state; pass ``batch`` for N concurrent streams (the
+        serving configuration — one vmapped step advances all of them)."""
         cfg = self._cfg
         n = cfg.n_hidden
-        z = lambda *s: jnp.zeros(s, jnp.float32)
+        lead = () if batch is None else (batch,)
+        z = lambda *s: jnp.zeros(lead + s, jnp.float32)
+        zi = lambda *s: jnp.zeros(lead + s, jnp.int32)
         return StreamState(
             fir_tail=z(self.K - 1, self.num_mic),
             delay_line=z(self.K // 2, self.num_mic),
             iir_state=z(self.C // len(self._filters) * len(self._filters), self.N_state),
             pending=z(self.guard + self.pending, self.C),
-            isyn=jnp.zeros(n, jnp.int32),
-            vmem=jnp.zeros(n, jnp.int32),
-            spk=jnp.zeros(n, jnp.int32),
-            counts=jnp.zeros(n, jnp.int32),
-            steps=jnp.zeros((), jnp.int32),
+            isyn=zi(n),
+            vmem=zi(n),
+            spk=zi(n),
+            counts=zi(n),
+            steps=zi(),
         )
 
     @functools.cached_property
@@ -197,16 +201,34 @@ class StreamingLocalizer:
 
         return step
 
+    @functools.cached_property
+    def _step_jit_batched(self):
+        return jax.jit(jax.vmap(self._step_jit))
+
     def process_chunk(self, state: StreamState, chunk):
-        """One chunk in, (new_state, decided input-spike raster) out."""
-        return self._step_jit(state, jnp.asarray(chunk, jnp.float32))
+        """One chunk in, (new_state, decided input-spike raster) out.
+
+        ``chunk`` may be (Tc, M) for a single stream or (B, Tc, M) matched to
+        a ``init_state(batch=B)`` state — the serving path advances all B
+        streams in one device launch.
+        """
+        chunk = jnp.asarray(chunk, jnp.float32)
+        if chunk.ndim == 3:
+            return self._step_jit_batched(state, chunk)
+        return self._step_jit(state, chunk)
 
     def rate(self, state: StreamState):
-        """Current per-DoA spike-rate estimate from the accumulated counts."""
+        """Current per-DoA spike-rate estimate from the accumulated counts
+        (batched states give (B, G) rates)."""
         num_DoA = len(self.demo.doa_list)
         steps = jnp.maximum(state.steps, 1)
-        r = state.counts.astype(jnp.float32) / steps * self.demo.fs
-        return r.reshape(-1, num_DoA).mean(0)
+        r = state.counts.astype(jnp.float32) / steps[..., None] * self.demo.fs
+        return r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
 
     def estimate_doa(self, state: StreamState, method: str = "peak"):
-        return self.demo.estimate_doa_from_rate(self.rate(state), method)
+        r = self.rate(state)
+        if r.ndim == 2:  # batched streams
+            return jnp.stack(
+                [self.demo.estimate_doa_from_rate(x, method) for x in r]
+            )
+        return self.demo.estimate_doa_from_rate(r, method)

@@ -103,3 +103,27 @@ def test_streaming_doa_estimate(demo):
     doa_off, _ = demo.forward(sig[: 4800 * (sig.shape[0] // Tc)])
     err_off = np.rad2deg(np.arcsin(abs(np.sin(float(doa_off) - doa_true))))
     assert abs(err - err_off) < 10.0
+
+
+def test_batched_streams_match_single(demo):
+    """N concurrent streams through the vmapped step equal N independent
+    single-stream runs (the serving configuration)."""
+    sl = StreamingLocalizer(demo)
+    sigs = np.stack([_signal(demo, duration=0.3, doa=d, seed=i) for i, d in enumerate((-1.0, 0.7, 2.0))]).astype(np.float32)
+    B, T, M = sigs.shape
+    Tc = T // 3
+
+    state_b = sl.init_state(batch=B)
+    for k in range(3):
+        state_b, spikes_b = sl.process_chunk(state_b, sigs[:, k * Tc : (k + 1) * Tc])
+    rates_b = np.asarray(sl.rate(state_b))
+    assert rates_b.shape == (B, len(demo.doa_list))
+
+    for i in range(B):
+        st = sl.init_state()
+        for k in range(3):
+            st, _ = sl.process_chunk(st, sigs[i, k * Tc : (k + 1) * Tc])
+        np.testing.assert_array_equal(np.asarray(st.counts), np.asarray(state_b.counts[i]))
+
+    ests = np.asarray(sl.estimate_doa(state_b))
+    assert ests.shape == (B,)
