@@ -186,3 +186,174 @@ def lif_count_rates(config, spikes_in_batch, time_chunk: int = 32):
         rec_coef=rec_coef,
         time_chunk=time_chunk,
     )
+
+
+# ----------------------------------------------------------- stateful variant
+def _lif_kernel_stateful(
+    spikes_ref, w_ref, dash_syn_ref, dash_mem_ref, thr_ref,
+    isyn0_ref, vmem0_ref, spk0_ref,  # (B, N) int32 initial state
+    counts_ref, isyn_out_ref, vmem_out_ref, spk_out_ref,
+    isyn_ref, vmem_ref, spk_ref, cnt_ref, inp_ref,
+    *, TC: int, B: int, T_actual: int, rec_coef: int,
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        isyn_ref[:] = isyn0_ref[:]
+        vmem_ref[:] = vmem0_ref[:]
+        spk_ref[:] = spk0_ref[:]
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    chunk = spikes_ref[:].reshape(TC * B, spikes_ref.shape[2]).astype(jnp.float32)
+    inp_ref[:] = jnp.dot(chunk, w_ref[:], preferred_element_type=jnp.float32)
+
+    dash_syn = dash_syn_ref[:]
+    dash_mem = dash_mem_ref[:]
+    threshold = thr_ref[:]
+
+    def step(s, _):
+        isyn = isyn_ref[:]
+        vmem = vmem_ref[:]
+        spk = spk_ref[:]
+        cur = inp_ref[pl.ds(s * B, B), :].astype(jnp.int32)
+        if rec_coef != 0:
+            cur = cur + rec_coef * jnp.sum(spk, axis=1, keepdims=True)
+        isyn = jnp.clip(
+            isyn - jax.lax.shift_right_arithmetic(isyn, dash_syn) + cur,
+            _STATE_MIN, _STATE_MAX,
+        )
+        vmem = jnp.clip(
+            vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn,
+            _STATE_MIN, _STATE_MAX,
+        )
+        spk_new = (vmem >= threshold).astype(jnp.int32)
+        vmem = vmem - spk_new * threshold
+        valid = (t * TC + s) < T_actual
+        spk_new = jnp.where(valid, spk_new, 0)
+        isyn_ref[:] = jnp.where(valid, isyn, isyn_ref[:])
+        vmem_ref[:] = jnp.where(valid, vmem, vmem_ref[:])
+        spk_ref[:] = jnp.where(valid, spk_new, spk_ref[:])
+        cnt_ref[:] = cnt_ref[:] + spk_new
+        return 0
+
+    jax.lax.fori_loop(0, TC, step, 0, unroll=1)
+
+    @pl.when(t == nt - 1)
+    def _():
+        counts_ref[:] = cnt_ref[:]
+        isyn_out_ref[:] = isyn_ref[:]
+        vmem_out_ref[:] = vmem_ref[:]
+        spk_out_ref[:] = spk_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("rec_coef", "time_chunk"))
+def _lif_count_stateful_impl(
+    spikes_tbc, w_in, dash_syn, dash_mem, threshold, isyn0, vmem0, spk0, rec_coef, time_chunk
+):
+    T, B, C = spikes_tbc.shape
+    N = w_in.shape[1]
+    TC = time_chunk
+    T_pad = _round_up(T, TC)
+    N_pad = _round_up(N, 128)
+    C_pad = _round_up(C, 128)
+
+    spikes_tbc = jnp.pad(spikes_tbc, ((0, T_pad - T), (0, 0), (0, C_pad - C)))
+    w_p = jnp.pad(w_in.astype(jnp.float32), ((0, C_pad - C), (0, N_pad - N)))
+    dash_syn_p = jnp.pad(dash_syn, (0, N_pad - N)).reshape(1, N_pad)
+    dash_mem_p = jnp.pad(dash_mem, (0, N_pad - N)).reshape(1, N_pad)
+    thr_p = jnp.pad(threshold, (0, N_pad - N), constant_values=_STATE_MAX).reshape(1, N_pad)
+    pad_state = lambda s: jnp.pad(s.astype(jnp.int32), ((0, 0), (0, N_pad - N)))
+
+    grid = (T_pad // TC,)
+    kernel = functools.partial(
+        _lif_kernel_stateful, TC=TC, B=B, T_actual=T, rec_coef=int(rec_coef)
+    )
+    state_spec = pl.BlockSpec((B, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    counts, isyn_f, vmem_f, spk_f = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TC, B, C_pad), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_pad, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            state_spec, state_spec, state_spec,
+        ],
+        out_specs=(state_spec, state_spec, state_spec, state_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, N_pad), jnp.int32) for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((TC * B, N_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(spikes_tbc, w_p, dash_syn_p, dash_mem_p, thr_p,
+      pad_state(isyn0), pad_state(vmem0), pad_state(spk0))
+    return (
+        counts[:, :N],
+        isyn_f[:, :N],
+        vmem_f[:, :N],
+        spk_f[:, :N],
+    )
+
+
+def lif_count_stateful(config, spikes_in_batch, isyn0, vmem0, spk0, time_chunk: int = 32):
+    """Stateful batched LIF: (B, T, C) spikes + (B, N) initial state →
+    (counts (B, N), final isyn/vmem/spk) — the streaming-runtime form of
+    :func:`lif_count_rates` (state carries across chunk calls).
+
+    Pallas on TPU; the lax.scan simulator elsewhere (identical integers).
+    """
+    wr = np.asarray(config.w_rec)
+    if wr.size and not np.all(wr == wr.flat[0]):
+        raise ValueError("lif_count_stateful requires uniform w_rec")
+    rec_coef = int(wr.flat[0]) if wr.size else 0
+
+    spikes = jnp.asarray(spikes_in_batch)
+    if jax.default_backend() != "tpu":
+        from ...models.xylo.sim import _sim_hidden
+
+        w_rec = jnp.asarray(config.w_rec, jnp.int32)
+        rc = jnp.asarray(rec_coef, jnp.int32)
+        ds = jnp.asarray(config.dash_syn, jnp.int32)
+        dm = jnp.asarray(config.dash_mem, jnp.int32)
+        th = jnp.asarray(config.threshold, jnp.int32)
+        w_in = jnp.asarray(config.w_in, jnp.int32)
+
+        def one(spk_bt, i0, v0, s0):
+            inp = jnp.dot(
+                spk_bt.astype(jnp.float32), w_in.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            spikes_out, carry, _ = _sim_hidden(
+                inp, w_rec, rc, ds, dm, th, (i0, v0, s0),
+                uniform_rec=True, record=False,
+            )
+            return spikes_out.sum(axis=0), carry[0], carry[1], carry[2]
+
+        counts, i_f, v_f, s_f = jax.vmap(one)(
+            spikes.astype(jnp.int32),
+            jnp.asarray(isyn0, jnp.int32),
+            jnp.asarray(vmem0, jnp.int32),
+            jnp.asarray(spk0, jnp.int32),
+        )
+        return counts, i_f, v_f, s_f
+
+    spikes_tbc = jnp.transpose(spikes.astype(jnp.int8), (1, 0, 2))
+    return _lif_count_stateful_impl(
+        spikes_tbc,
+        jnp.asarray(config.w_in, jnp.int32),
+        jnp.asarray(config.dash_syn, jnp.int32),
+        jnp.asarray(config.dash_mem, jnp.int32),
+        jnp.asarray(config.threshold, jnp.int32),
+        jnp.asarray(isyn0, jnp.int32),
+        jnp.asarray(vmem0, jnp.int32),
+        jnp.asarray(spk0, jnp.int32),
+        rec_coef=rec_coef,
+        time_chunk=time_chunk,
+    )

@@ -100,7 +100,7 @@ class StreamingLocalizer:
         )
 
     @functools.cached_property
-    def _step_jit(self):
+    def _make_steps(self):
         from ..ops.fir import fir_filter
         from ..ops.peaks import find_peaks_mask
 
@@ -131,8 +131,9 @@ class StreamingLocalizer:
             vmem = vmem - spk_new * threshold
             return (isyn, vmem, spk_new), spk_new
 
-        @jax.jit
-        def step(state: StreamState, chunk):
+        def encode(state: StreamState, chunk):
+            """Encode-only step: (state, (Tc, M) chunk) → (partial new state
+            with LIF fields untouched, (Tc, 2C) spike raster)."""
             Tc = chunk.shape[0]
             # --- STHT streaming
             ext = jnp.concatenate([state.fir_tail, chunk], axis=0)
@@ -178,32 +179,57 @@ class StreamingLocalizer:
                 spikes = decided.T.astype(jnp.int32)
             new_pending = analysis[Tc:]
 
+            enc_state = state._replace(
+                fir_tail=new_tail,
+                delay_line=new_delay,
+                iir_state=new_iir,
+                pending=new_pending,
+                steps=state.steps + Tc,
+            )
+            return enc_state, spikes
+
+        @jax.jit
+        def step(state: StreamState, chunk):
+            enc_state, spikes = encode(state, chunk)
             # --- integer LIF with carried state
             inp = jnp.dot(spikes.astype(jnp.float32), w_in, preferred_element_type=jnp.float32)
             (isyn, vmem, spk), spk_seq = jax.lax.scan(
                 lif_scan, (state.isyn, state.vmem, state.spk), inp
             )
-            counts = state.counts + jnp.sum(spk_seq, axis=0)
-            steps = state.steps + Tc
-
-            new_state = StreamState(
-                fir_tail=new_tail,
-                delay_line=new_delay,
-                iir_state=new_iir,
-                pending=new_pending,
-                isyn=isyn,
-                vmem=vmem,
-                spk=spk,
-                counts=counts,
-                steps=steps,
+            return (
+                enc_state._replace(
+                    isyn=isyn, vmem=vmem, spk=spk,
+                    counts=state.counts + jnp.sum(spk_seq, axis=0),
+                ),
+                spikes,
             )
-            return new_state, spikes
 
-        return step
+        @jax.jit
+        def step_batched(state: StreamState, chunks):
+            """Serving path: vmapped encode + the stateful Pallas LIF kernel
+            over the whole stream batch (identical integers to the scan)."""
+            from ..ops.pallas.lif_kernel import lif_count_stateful
 
-    @functools.cached_property
+            enc_state, spikes = jax.vmap(encode)(state, chunks)
+            counts_new, isyn, vmem, spk = lif_count_stateful(
+                cfg, spikes, state.isyn, state.vmem, state.spk
+            )
+            return (
+                enc_state._replace(
+                    isyn=isyn, vmem=vmem, spk=spk, counts=state.counts + counts_new
+                ),
+                spikes,
+            )
+
+        return step, step_batched
+
+    @property
+    def _step_jit(self):
+        return self._make_steps[0]
+
+    @property
     def _step_jit_batched(self):
-        return jax.jit(jax.vmap(self._step_jit))
+        return self._make_steps[1]
 
     def process_chunk(self, state: StreamState, chunk):
         """One chunk in, (new_state, decided input-spike raster) out.
