@@ -281,6 +281,100 @@ class Demo:
         )
         return jnp.angle(weighted_exp)
 
+    # ------------------------------------------------------------ checkpointing
+    def save(self, path: str):
+        """Serialize the complete deployable model — geometry, designed
+        beamforming matrices, quantized SNN config and (if calibrated) the
+        matched-profile table — to one .npz.  The reference has no model
+        persistence at all (designs are recomputed every process start,
+        SURVEY §5); this is the deployment checkpoint."""
+        cfg = self.xylo_config
+        arrays = {
+            "r_vec": self.geometry.r_vec,
+            "theta_vec": self.geometry.theta_vec,
+            "speed": np.asarray(self.geometry.speed),
+            "freq_bands": self.freq_bands,
+            "doa_list": self.doa_list,
+            "params": np.asarray(
+                [self.recording_duration, self.kernel_duration, float(self.fs),
+                 float(self.bipolar_spikes), cfg.dt]
+            ),
+            "w_in": cfg.w_in,
+            "w_rec": cfg.w_rec,
+            "w_out": cfg.w_out,
+            "dash_syn": cfg.dash_syn,
+            "dash_mem": cfg.dash_mem,
+            "dash_syn_out": cfg.dash_syn_out,
+            "dash_mem_out": cfg.dash_mem_out,
+            "threshold": cfg.threshold,
+            "threshold_out": cfg.threshold_out,
+            "weight_scale": np.asarray(cfg.weight_scale),
+        }
+        for i, m in enumerate(self.bf_mats):
+            arrays[f"bf_{i}"] = m
+        if getattr(self, "_profiles", None) is not None:
+            arrays["profiles"] = np.asarray(self._profiles)
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str):
+        """Reconstruct a Demo from :meth:`save` output without re-running the
+        design (the quantized config and matrices are restored verbatim)."""
+        from ...geometry import ArrayGeometry
+        from .quantize import XyloConfig
+
+        z = np.load(path, allow_pickle=False)
+        geometry = ArrayGeometry(z["r_vec"], z["theta_vec"], float(z["speed"]))
+        rec_dur, ker_dur, fs, bipolar, dt = z["params"]
+
+        self = cls.__new__(cls)
+        self.geometry = geometry
+        self.freq_bands = np.atleast_2d(z["freq_bands"])
+        self.doa_list = np.asarray(z["doa_list"])
+        self.recording_duration = float(rec_dur)
+        self.kernel_duration = float(ker_dur)
+        self.bipolar_spikes = bool(bipolar)
+        self.xylosim_version = True
+        self.fs = float(fs)
+        self.dt = 1.0 / self.fs
+
+        self.bf_mats = []
+        i = 0
+        while f"bf_{i}" in z:
+            self.bf_mats.append(z[f"bf_{i}"])
+            i += 1
+        self.tau_vecs = np.asarray(
+            [[1.0 / (2 * np.pi * float(np.mean(b)))] * 2 for b in self.freq_bands]
+        )
+        self.beamfs = [
+            SNNBeamformer(
+                geometry=geometry,
+                kernel_duration=self.kernel_duration,
+                freq_range=band,
+                tau_vec=list(tv),
+                bipolar_spikes=self.bipolar_spikes,
+                fs=self.fs,
+            )
+            for band, tv in zip(self.freq_bands, self.tau_vecs)
+        ]
+        self.filterbank = ButterworthFilterbank(
+            freq_bands=self.freq_bands, order=1, fs=self.fs
+        )
+        self._bas = tuple(
+            (tuple(b.tolist()), tuple(a.tolist())) for b, a in self.filterbank.ba_list
+        )
+        self.xylo_config = XyloConfig(
+            w_in=z["w_in"], w_rec=z["w_rec"], w_out=z["w_out"],
+            dash_syn=z["dash_syn"], dash_mem=z["dash_mem"],
+            dash_syn_out=z["dash_syn_out"], dash_mem_out=z["dash_mem_out"],
+            threshold=z["threshold"], threshold_out=z["threshold_out"],
+            dt=float(dt), weight_scale=float(z["weight_scale"]),
+        )
+        self.xylo = XyloSim.from_config(self.xylo_config, output_mode="Spike", dt=float(dt))
+        if "profiles" in z:
+            self._profiles = jnp.asarray(z["profiles"])
+        return self
+
     # ------------------------------------------------------ matched profiles
     def calibrate_profiles(self, template=None, batch: int = 32, use_cache: bool = True):
         """Build the G×G matched-profile table: row g = the hidden-rate profile

@@ -104,3 +104,23 @@ def test_count_operations_census(demos):
     fan0 = np.count_nonzero(np.asarray(demo.xylo_config.w_in)[0])
     assert ops["synops_in"] == 2 * fan0
     assert ops["timesteps"] == 100.0
+
+
+def test_demo_save_load_roundtrip(demos, tmp_path):
+    """Full model checkpoint: load reproduces the quantized pipeline outputs
+    exactly without re-running the design."""
+    demo, _ = demos
+    demo.calibrate_profiles(batch=16, use_cache=False)
+    p = str(tmp_path / "model.npz")
+    demo.save(p)
+
+    restored = Demo.load(p)
+    sig_in = _frame(demo.geometry)
+    doa1, rate1 = demo.forward(sig_in)
+    doa2, rate2 = restored.forward(sig_in)
+    np.testing.assert_array_equal(np.asarray(rate1), np.asarray(rate2))
+    assert float(doa1) == float(doa2)
+    # matched estimator carried through the checkpoint
+    est1 = float(demo.estimate_doa_from_rate(rate1, "matched"))
+    est2 = float(restored.estimate_doa_from_rate(rate2, "matched"))
+    assert est1 == est2
