@@ -127,3 +127,37 @@ def test_batched_streams_match_single(demo):
 
     ests = np.asarray(sl.estimate_doa(state_b))
     assert ests.shape == (B,)
+
+
+def test_streaming_unipolar_and_multiband():
+    """Streaming handles unipolar encoding and multiple frequency bands."""
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=np.linspace(-np.pi, np.pi, 33),
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=False,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    sl = StreamingLocalizer(d)
+    sig = _signal(d, duration=0.3, doa=0.5)
+    state = sl.init_state()
+    Tc = sig.shape[0] // 3
+    spikes_all = []
+    for k in range(3):
+        state, spikes = sl.process_chunk(state, sig[k * Tc : (k + 1) * Tc])
+        spikes_all.append(np.asarray(spikes))
+    spikes_all = np.concatenate(spikes_all)
+    assert spikes_all.shape[1] == 2 * 14 * 2 // 2  # unipolar: 2M x F channels
+    assert spikes_all.min() >= 0
+    # counts consistent with the offline simulator on the same spikes
+    from haghighatshoarmuir2024_tpu.models.xylo.sim import sim_hidden_batch
+
+    ref = np.asarray(
+        sim_hidden_batch(d.xylo_config, spikes_all[None].astype(np.int32))
+    )[0].sum(axis=0)
+    np.testing.assert_array_equal(np.asarray(state.counts), ref)
