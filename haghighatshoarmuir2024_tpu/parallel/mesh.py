@@ -36,6 +36,14 @@ def make_mesh(
     devs = jax.devices()
     if n_devices is None:
         n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(
+            f"make_mesh asked for {n_devices} devices but only {len(devs)} exist "
+            f"({[d.platform for d in devs]}). For a virtual multi-device CPU mesh, "
+            f"set XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} and "
+            f"jax.config.update('jax_platforms', 'cpu') BEFORE the JAX backend "
+            f"initializes (see tests/conftest.py)."
+        )
     devs = devs[:n_devices]
     if shape is None:
         shape = (n_devices, 1)
