@@ -273,8 +273,12 @@ class Demo:
         # trimmed_periodic_ml
         DoA_index = jnp.argmax(spike_rate)
         num_DoA = len(self.doa_list) // 2
+        # Quirk reproduced: the reference writes ``np.arange(-num_DoA // 2, ...)``
+        # (micloc/xylo_snn_localization.py:434) — Python floor division of the
+        # negated value, so for odd num_DoA the window extends one step further
+        # on the low side (length num_DoA+1, not num_DoA).
         DoA_range = (
-            jnp.arange(-(num_DoA // 2), num_DoA // 2 + 1) - DoA_index
+            jnp.arange(-num_DoA // 2, num_DoA // 2 + 1) - DoA_index
         )
         weighted_exp = jnp.mean(
             spike_rate[DoA_range] * jnp.exp(1j * doa_list[DoA_range])
@@ -474,9 +478,54 @@ class Demo:
 
         return fwd
 
-    def forward_batch(self, sig_batch):
-        """Batched flagship chain: (B, T, M) → (doa (B,), rate (B, G))."""
-        return self._forward_batch_jit(jnp.asarray(sig_batch, jnp.float32))
+    @functools.cached_property
+    def _forward_matched_jit(self):
+        """Single-frame flagship chain with the calibrated matched estimator
+        (bias-free; requires :meth:`calibrate_profiles`)."""
+        if getattr(self, "_profiles", None) is None:
+            raise ValueError("call calibrate_profiles() before the matched forward")
+        base = self._forward_jit
+        profiles = jnp.asarray(self._profiles, jnp.float32)
+        doa_list = jnp.asarray(self.doa_list)
+
+        @jax.jit
+        def fwd(sig_in):
+            _, rate_doa = base(sig_in)
+            r = rate_doa - jnp.mean(rate_doa)
+            doa = doa_list[jnp.argmax(profiles @ r)]
+            return doa, rate_doa
+
+        return fwd
+
+    def forward_batch(self, sig_batch, method: str = "peak"):
+        """Batched flagship chain: (B, T, M) → (doa (B,), rate (B, G)).
+
+        ``method="peak"`` is the reference-parity argmax estimator
+        (micloc/xylo_snn_localization.py:400-444); ``method="matched"`` applies
+        the calibrated matched-profile estimator inside the same jitted
+        program (requires :meth:`calibrate_profiles`)."""
+        sig_batch = jnp.asarray(sig_batch, jnp.float32)
+        if method == "matched":
+            return self._forward_batch_matched_jit(sig_batch)
+        return self._forward_batch_jit(sig_batch)
+
+    @functools.cached_property
+    def _forward_batch_matched_jit(self):
+        if getattr(self, "_profiles", None) is None:
+            raise ValueError("call calibrate_profiles() before the matched forward")
+        base = self._forward_batch_jit
+        profiles = jnp.asarray(self._profiles, jnp.float32)
+        doa_list = jnp.asarray(self.doa_list)
+
+        @jax.jit
+        def fwd(sig_batch):
+            _, rate_doa = base(sig_batch)
+            r = rate_doa - jnp.mean(rate_doa, axis=-1, keepdims=True)
+            scores = r @ profiles.T  # (B, G) correlation against calibrated rows
+            doa = doa_list[jnp.argmax(scores, axis=-1)]
+            return doa, rate_doa
+
+        return fwd
 
     @functools.cached_property
     def _forward_batch_jit(self):

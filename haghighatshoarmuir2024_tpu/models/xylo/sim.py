@@ -205,6 +205,111 @@ class XyloSim:
         return spikes, {"hidden": self._state}, rec
 
 
+class XyloSimPushToHidden:
+    """Two-population hidden simulator for the push-to-hidden deployment.
+
+    The reference maps ``Linear(dummy) → LIF(n1) → Linear(weight) → LIF(n2,
+    rec) → Linear(ones) → LIF(1)`` onto Xylo
+    (micloc/xylo_snn_localization_push_to_hidden.py:221-273): on the chip both
+    LIF populations live in the single hidden array with the block recurrent
+    matrix ``[[0, weight], [0, w_rec]]``, and ``_evolve_to_hidden`` injects the
+    input spikes directly into the first population, bypassing the (all-zero)
+    dummy input weights (:379).
+
+    Here the block matrix is simulated in *decomposed* form — stage 1 is an
+    elementwise scan (no recurrent input reaches it), its spikes are delayed by
+    one step (recurrent connections on Xylo act on the previous step's spikes)
+    and projected through ``weight`` as ONE batched MXU matmul, then stage 2
+    scans with its own recurrence.  This is exactly equivalent to scanning the
+    block matrix, without a (n1+n2)² matvec inside the scan.
+
+    Injection scale: rockpool's ``_evolve_to_hidden`` spike-injection weight is
+    not publicly documented (hardware-only private API); we inject one
+    quantized threshold's worth of synaptic charge per input spike (unit gain
+    in float units) — deviation documented in DemoPushToHidden.
+    """
+
+    def __init__(
+        self,
+        config: XyloConfig,
+        injection_weight: int,
+        dash_syn_in: np.ndarray,
+        dash_mem_in: np.ndarray,
+        threshold_in: np.ndarray,
+    ):
+        self.config = config
+        self.dt = config.dt
+        self.n_stage1 = config.n_in
+        self.n_stage2 = config.n_hidden
+
+        self._inj = jnp.asarray(int(injection_weight), jnp.int32)
+        self._dash_syn_in = jnp.asarray(dash_syn_in, jnp.int32)
+        self._dash_mem_in = jnp.asarray(dash_mem_in, jnp.int32)
+        self._threshold_in = jnp.asarray(threshold_in, jnp.int32)
+
+        self._w = jnp.asarray(config.w_in, jnp.int32)  # stage1 → stage2
+        self._w_rec = jnp.asarray(config.w_rec, jnp.int32)
+        self._dash_syn = jnp.asarray(config.dash_syn, jnp.int32)
+        self._dash_mem = jnp.asarray(config.dash_mem, jnp.int32)
+        self._threshold = jnp.asarray(config.threshold, jnp.int32)
+
+        wr = np.asarray(config.w_rec)
+        self._uniform_rec = bool(wr.size) and np.all(wr == wr.flat[0])
+        self._rec_coef = jnp.asarray(int(wr.flat[0]) if self._uniform_rec else 0, jnp.int32)
+
+        self.reset_state()
+
+    def reset_state(self):
+        self._state1 = tuple(jnp.zeros(self.n_stage1, jnp.int32) for _ in range(3))
+        self._state2 = tuple(jnp.zeros(self.n_stage2, jnp.int32) for _ in range(3))
+
+    def evolve_to_hidden(self, spikes_in, record: bool = False):
+        """Input spike raster (T, n_stage1) → full hidden raster
+        (T, n_stage1 + n_stage2) in ``rec["Spikes"]``."""
+        spikes_in = jnp.asarray(spikes_in).astype(jnp.int32)
+        inp1 = spikes_in * self._inj
+        no_rec = jnp.zeros((0, 0), jnp.int32)
+        last_spk1 = self._state1[2]  # previous call's final stage-1 spikes
+        spk1, self._state1, rec1 = _sim_hidden(
+            inp1,
+            no_rec,
+            jnp.asarray(0, jnp.int32),
+            self._dash_syn_in,
+            self._dash_mem_in,
+            self._threshold_in,
+            self._state1,
+            uniform_rec=True,
+            record=record,
+        )
+        # recurrent fabric acts on the PREVIOUS step's spikes: delay stage-1
+        # output by one step before projecting (seam carried across calls via
+        # the spk component of the stage-1 state)
+        prev_spk1 = jnp.concatenate([last_spk1[None], spk1[:-1]])
+        inp2 = jnp.dot(
+            prev_spk1.astype(jnp.float32),
+            self._w.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        spk2, self._state2, rec2 = _sim_hidden(
+            inp2,
+            self._w_rec,
+            self._rec_coef,
+            self._dash_syn,
+            self._dash_mem,
+            self._threshold,
+            self._state2,
+            uniform_rec=self._uniform_rec,
+            record=record,
+        )
+        spikes = jnp.concatenate([spk1, spk2], axis=1)
+        rec = {"Spikes": spikes}
+        if record:
+            rec["Isyn"] = jnp.concatenate([rec1["Isyn"], rec2["Isyn"]], axis=1)
+            rec["Vmem"] = jnp.concatenate([rec1["Vmem"], rec2["Vmem"]], axis=1)
+        state = {"stage1": self._state1, "stage2": self._state2}
+        return spikes, state, rec
+
+
 def sim_hidden_batch(config: XyloConfig, spikes_in_batch):
     """Stateless batched evolve: (B, T, N_in) → hidden spikes (B, T, N_hid).
 

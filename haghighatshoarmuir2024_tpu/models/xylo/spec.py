@@ -120,17 +120,26 @@ def build_localization_spec(
 
 
 def truncate_fan_out(weight: np.ndarray, max_fan_out: int = 63) -> np.ndarray:
-    """Zero all but the ``max_fan_out`` largest-|w| outputs of each row.
+    """Per-row fan-out truncation, bug-compatible with the reference.
 
-    Equivalent of the push-to-hidden variant's fan-out truncation
-    (micloc/xylo_snn_localization_push_to_hidden.py:181-218): Xylo-A2 limits
-    each neuron's fan-out to 63 targets.
+    The push-to-hidden variant zeroes every weight with ``|w| <= thre`` where
+    ``thre`` is the ``max_fan_out``-th largest |w| of the row
+    (micloc/xylo_snn_localization_push_to_hidden.py:184-187 for w_in,
+    :213-218 for w_rec).  Quirks reproduced exactly:
+
+    * the threshold entry itself is zeroed (``<=``), so a row with distinct
+      magnitudes keeps only ``max_fan_out - 1`` entries;
+    * ties at the threshold are all zeroed — a row whose magnitudes are all
+      equal (e.g. the uniform DC-cancelling ``w_rec``) is zeroed ENTIRELY.
+
+    Rows narrower than ``max_fan_out`` already satisfy the hardware limit and
+    are returned unchanged (the reference would index out of bounds there; it
+    never hits that case).
     """
     weight = np.array(weight, dtype=np.float64, copy=True)
     n_rows, n_cols = weight.shape
-    if n_cols <= max_fan_out:
+    if n_cols < max_fan_out:
         return weight
-    for r in range(n_rows):
-        order = np.argsort(np.abs(weight[r]))
-        weight[r, order[: n_cols - max_fan_out]] = 0.0
+    thre = np.sort(np.abs(weight), axis=1)[:, -max_fan_out].reshape(-1, 1)
+    weight[np.abs(weight) <= thre] = 0.0
     return weight

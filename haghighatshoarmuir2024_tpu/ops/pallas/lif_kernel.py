@@ -109,8 +109,9 @@ def _lif_kernel(
         counts_ref[:] = cnt_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("rec_coef", "time_chunk"))
-def _lif_count_impl(spikes_tbc, w_in, dash_syn, dash_mem, threshold, rec_coef, time_chunk):
+@functools.partial(jax.jit, static_argnames=("rec_coef", "time_chunk", "interpret"))
+def _lif_count_impl(spikes_tbc, w_in, dash_syn, dash_mem, threshold, rec_coef, time_chunk,
+                    interpret: bool = False):
     T, B, C = spikes_tbc.shape
     N = w_in.shape[1]
     TC = time_chunk
@@ -151,6 +152,7 @@ def _lif_count_impl(spikes_tbc, w_in, dash_syn, dash_mem, threshold, rec_coef, t
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        interpret=interpret,
     )(spikes_tbc, w_p, dash_syn_p, dash_mem_p, thr_p)
     return counts[:, :N]
 
@@ -248,9 +250,10 @@ def _lif_kernel_stateful(
         spk_out_ref[:] = spk_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("rec_coef", "time_chunk"))
+@functools.partial(jax.jit, static_argnames=("rec_coef", "time_chunk", "interpret"))
 def _lif_count_stateful_impl(
-    spikes_tbc, w_in, dash_syn, dash_mem, threshold, isyn0, vmem0, spk0, rec_coef, time_chunk
+    spikes_tbc, w_in, dash_syn, dash_mem, threshold, isyn0, vmem0, spk0, rec_coef, time_chunk,
+    interpret: bool = False,
 ):
     T, B, C = spikes_tbc.shape
     N = w_in.shape[1]
@@ -292,6 +295,7 @@ def _lif_count_stateful_impl(
             pltpu.VMEM((TC * B, N_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
     )(spikes_tbc, w_p, dash_syn_p, dash_mem_p, thr_p,
       pad_state(isyn0), pad_state(vmem0), pad_state(spk0))
     return (

@@ -1,0 +1,187 @@
+"""Parity tests for the Pallas integer-LIF kernels (ops/pallas/lif_kernel.py).
+
+The kernels produce every benchmark number, so their integer dynamics must be
+IDENTICAL to the lax.scan simulator (models/xylo/sim._sim_hidden) that the
+golden tests validate.  On CPU the public wrappers fall back to the scan, so
+these tests drive the Pallas kernels themselves through ``interpret=True`` —
+same kernel code, interpreted — across random configs including saturation,
+nonzero recurrence, ragged T (not divisible by the time chunk) and carried
+state.  A compiled-path test runs when a real TPU is the default backend
+(RUN_TPU_TESTS=1 outside this CPU-forced suite).
+"""
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from haghighatshoarmuir2024_tpu.models.xylo.quantize import XyloConfig
+from haghighatshoarmuir2024_tpu.models.xylo.sim import sim_hidden_batch, _sim_hidden
+from haghighatshoarmuir2024_tpu.ops.pallas.lif_kernel import (
+    _lif_count_impl,
+    _lif_count_stateful_impl,
+    lif_count_rates,
+)
+
+
+def make_config(seed, C=12, N=20, rec_coef=0, w_scale=20):
+    rng = np.random.default_rng(seed)
+    w_in = rng.integers(-w_scale, w_scale + 1, size=(C, N)).astype(np.int32)
+    w_rec = np.full((N, N), rec_coef, np.int32)
+    return XyloConfig(
+        w_in=w_in,
+        w_rec=w_rec,
+        w_out=np.ones((N, 1), np.int32),
+        dash_syn=rng.integers(1, 7, size=N).astype(np.int32),
+        dash_mem=rng.integers(1, 7, size=N).astype(np.int32),
+        dash_syn_out=np.ones(1, np.int32),
+        dash_mem_out=np.ones(1, np.int32),
+        threshold=rng.integers(30, 200, size=N).astype(np.int32),
+        threshold_out=np.ones(1, np.int32),
+        dt=1e-3,
+        weight_scale=1.0,
+    )
+
+
+def make_spikes(seed, B=3, T=50, C=12, p=0.15, max_count=2):
+    rng = np.random.default_rng(seed + 1000)
+    return (rng.random((B, T, C)) < p).astype(np.int32) * rng.integers(
+        1, max_count + 1, size=(B, T, C)
+    ).astype(np.int32)
+
+
+def pallas_counts(config, spikes_btc, time_chunk=8):
+    """Drive the count kernel in interpret mode (the TPU wrapper's core)."""
+    wr = np.asarray(config.w_rec)
+    rec_coef = int(wr.flat[0]) if wr.size else 0
+    spikes_tbc = jnp.transpose(jnp.asarray(spikes_btc, jnp.int32), (1, 0, 2))
+    return np.asarray(
+        _lif_count_impl(
+            spikes_tbc,
+            jnp.asarray(config.w_in, jnp.int32),
+            jnp.asarray(config.dash_syn, jnp.int32),
+            jnp.asarray(config.dash_mem, jnp.int32),
+            jnp.asarray(config.threshold, jnp.int32),
+            rec_coef=rec_coef,
+            time_chunk=time_chunk,
+            interpret=True,
+        )
+    )
+
+
+def scan_counts(config, spikes_btc):
+    return np.asarray(sim_hidden_batch(config, jnp.asarray(spikes_btc)).sum(axis=1))
+
+
+@pytest.mark.parametrize("seed,rec_coef", [(0, 0), (1, -3), (2, -1), (3, 0)])
+def test_lif_count_interpret_matches_scan(seed, rec_coef):
+    config = make_config(seed, rec_coef=rec_coef)
+    spikes = make_spikes(seed)
+    np.testing.assert_array_equal(pallas_counts(config, spikes), scan_counts(config, spikes))
+
+
+def test_lif_count_interpret_ragged_T():
+    # T = 53 with time_chunk 8: the padded tail must contribute nothing
+    config = make_config(7, rec_coef=-2)
+    spikes = make_spikes(7, T=53)
+    np.testing.assert_array_equal(
+        pallas_counts(config, spikes, time_chunk=8), scan_counts(config, spikes)
+    )
+
+
+def test_lif_count_interpret_saturation():
+    # huge weights + dense spikes drive isyn/vmem into the 16-bit clip
+    config = make_config(11, w_scale=5000)
+    config.threshold[:] = 25_000
+    spikes = make_spikes(11, p=0.9, max_count=3)
+    got = pallas_counts(config, spikes)
+    np.testing.assert_array_equal(got, scan_counts(config, spikes))
+    assert got.sum() > 0  # the saturating regime actually fired
+
+
+def test_lif_count_interpret_time_chunk_invariance():
+    config = make_config(5, rec_coef=-2)
+    spikes = make_spikes(5, T=64)
+    a = pallas_counts(config, spikes, time_chunk=4)
+    b = pallas_counts(config, spikes, time_chunk=32)
+    np.testing.assert_array_equal(a, b)
+
+
+def stateful_call(config, spikes_btc, state, time_chunk=8):
+    wr = np.asarray(config.w_rec)
+    rec_coef = int(wr.flat[0]) if wr.size else 0
+    spikes_tbc = jnp.transpose(jnp.asarray(spikes_btc, jnp.int32), (1, 0, 2))
+    out = _lif_count_stateful_impl(
+        spikes_tbc,
+        jnp.asarray(config.w_in, jnp.int32),
+        jnp.asarray(config.dash_syn, jnp.int32),
+        jnp.asarray(config.dash_mem, jnp.int32),
+        jnp.asarray(config.threshold, jnp.int32),
+        jnp.asarray(state[0], jnp.int32),
+        jnp.asarray(state[1], jnp.int32),
+        jnp.asarray(state[2], jnp.int32),
+        rec_coef=rec_coef,
+        time_chunk=time_chunk,
+        interpret=True,
+    )
+    return np.asarray(out[0]), tuple(np.asarray(s) for s in out[1:])
+
+
+def test_lif_stateful_interpret_chunked_equals_full():
+    """Three carried-state kernel calls == one full-length scan: counts sum
+    and the final (isyn, vmem, spk) state are integer-identical."""
+    config = make_config(21, rec_coef=-2)
+    B, N = 3, config.n_hidden
+    spikes = make_spikes(21, T=96)
+
+    state = tuple(np.zeros((B, N), np.int32) for _ in range(3))
+    total = np.zeros((B, N), np.int64)
+    for part in np.split(spikes, [30, 60], axis=1):  # ragged: 30 + 30 + 36
+        counts, state = stateful_call(config, part, state)
+        total += counts
+
+    # full-length scan reference with the same carried-state semantics
+    w_in = jnp.asarray(config.w_in, jnp.float32)
+    inp = jnp.einsum("btc,cn->btn", jnp.asarray(spikes, jnp.float32), w_in).astype(jnp.int32)
+
+    def one(inp_b):
+        s0 = tuple(jnp.zeros(N, jnp.int32) for _ in range(3))
+        spk, carry, _ = _sim_hidden(
+            inp_b,
+            jnp.asarray(config.w_rec, jnp.int32),
+            jnp.asarray(-2, jnp.int32),
+            jnp.asarray(config.dash_syn, jnp.int32),
+            jnp.asarray(config.dash_mem, jnp.int32),
+            jnp.asarray(config.threshold, jnp.int32),
+            s0,
+            uniform_rec=True,
+            record=False,
+        )
+        return spk.sum(axis=0), carry[0], carry[1], carry[2]
+
+    counts_ref, isyn_ref, vmem_ref, spk_ref = jax.vmap(one)(inp)
+    np.testing.assert_array_equal(total, np.asarray(counts_ref))
+    np.testing.assert_array_equal(state[0], np.asarray(isyn_ref))
+    np.testing.assert_array_equal(state[1], np.asarray(vmem_ref))
+    np.testing.assert_array_equal(state[2], np.asarray(spk_ref))
+
+
+def test_lif_count_rates_rejects_dense_w_rec():
+    config = make_config(31)
+    config.w_rec = np.arange(config.n_hidden**2, dtype=np.int32).reshape(
+        config.n_hidden, config.n_hidden
+    )
+    with pytest.raises(ValueError, match="uniform w_rec"):
+        lif_count_rates(config, make_spikes(31))
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_TPU_TESTS") != "1" or jax.default_backend() != "tpu",
+    reason="compiled-path parity needs the real TPU (RUN_TPU_TESTS=1, no CPU forcing)",
+)
+def test_lif_count_compiled_tpu_matches_scan():
+    config = make_config(41, rec_coef=-2)
+    spikes = make_spikes(41, B=4, T=100)
+    got = np.asarray(lif_count_rates(config, spikes, time_chunk=32))
+    np.testing.assert_array_equal(got, scan_counts(config, spikes))

@@ -42,8 +42,95 @@ def _frame(geometry, doa=0.7, duration=0.1, seed=0):
 
 def test_push_to_hidden_fan_out_truncated(demos):
     _, pth = demos
-    fan_out = np.count_nonzero(np.asarray(pth.xylo_config.w_rec), axis=1)
-    assert fan_out.max() <= DemoPushToHidden.MAX_FAN_OUT
+    # reference <= quirk: the uniform w_rec ties at the threshold everywhere
+    # and is zeroed ENTIRELY (micloc/xylo_snn_localization_push_to_hidden.py:213-218)
+    assert np.count_nonzero(np.asarray(pth.xylo_config.w_rec)) == 0
+    # input-side weight rows keep at most MAX_FAN_OUT-1 entries (<= quirk
+    # zeroes the threshold entry itself)
+    fan_in = np.count_nonzero(np.asarray(pth.xylo_config.w_in), axis=1)
+    assert fan_in.max() <= DemoPushToHidden.MAX_FAN_OUT - 1
+
+
+def test_truncate_fan_out_reference_quirks():
+    from haghighatshoarmuir2024_tpu.models.xylo.spec import truncate_fan_out
+
+    # distinct magnitudes: the 63rd-largest is the threshold and is zeroed
+    # itself -> exactly 62 survivors
+    w = np.arange(1, 101, dtype=np.float64).reshape(1, -1)
+    wt = truncate_fan_out(w, max_fan_out=63)
+    assert np.count_nonzero(wt) == 62
+    # survivors are the 62 largest
+    assert wt[0, -62:].all() and not wt[0, :-62].any()
+    # all-equal row: everything ties at the threshold -> all zeroed
+    wu = truncate_fan_out(np.ones((3, 100)), max_fan_out=63)
+    assert np.count_nonzero(wu) == 0
+    # narrow rows are left alone (reference never hits this case)
+    ws = truncate_fan_out(np.ones((2, 10)), max_fan_out=63)
+    assert np.count_nonzero(ws) == 20
+
+
+def test_push_to_hidden_has_input_lif_stage(demos):
+    """The variant's hidden dynamics must include the input LIF filtering:
+    a single input spike is relayed through stage 1 as spikes spread over
+    several steps (LIF synaptic tail), not as the raw impulse."""
+    _, pth = demos
+    n_in = pth.xylo_config.n_in
+    T = 50
+    spikes = np.zeros((T, n_in), np.int32)
+    spikes[3, 0] = 1
+    pth.xylo.reset_state()
+    full, _, rec = pth.xylo.evolve_to_hidden(spikes, record=False)
+    stage1 = np.asarray(rec["Spikes"])[:, :n_in]
+    # only the stimulated channel fires
+    assert stage1[:, 1:].sum() == 0
+    fired = np.nonzero(stage1[:, 0])[0]
+    # the LIF relay fires at/after the input step and keeps firing while the
+    # synaptic tail stays above threshold (> 1 spike from 1 input spike)
+    assert len(fired) >= 2 and fired[0] >= 3
+
+
+def test_push_to_hidden_matches_block_recurrent_form(demos):
+    """The decomposed two-population sim must equal scanning the mapped block
+    recurrent matrix [[0, W], [0, R]] — the layout rockpool's mapper produces
+    on Xylo (micloc/xylo_snn_localization_push_to_hidden.py:221-273)."""
+    import jax.numpy as jnp
+    from haghighatshoarmuir2024_tpu.models.xylo.sim import _sim_hidden
+
+    _, pth = demos
+    cfg = pth.xylo_config
+    sim = pth.xylo
+    n1, n2 = sim.n_stage1, sim.n_stage2
+
+    rng = np.random.default_rng(0)
+    T = 40
+    spikes = (rng.random((T, n1)) < 0.1).astype(np.int32)
+
+    sim.reset_state()
+    ours, _, _ = sim.evolve_to_hidden(spikes)
+    ours = np.asarray(ours)
+
+    # block form
+    w_full = np.zeros((n1 + n2, n1 + n2), np.int64)
+    w_full[:n1, n1:] = np.asarray(cfg.w_in)
+    w_full[n1:, n1:] = np.asarray(cfg.w_rec)
+    inp_full = np.zeros((T, n1 + n2), np.int32)
+    inp_full[:, :n1] = spikes * int(sim._inj)
+    dash_syn = np.concatenate([np.asarray(sim._dash_syn_in), np.asarray(cfg.dash_syn)])
+    dash_mem = np.concatenate([np.asarray(sim._dash_mem_in), np.asarray(cfg.dash_mem)])
+    thr = np.concatenate([np.asarray(sim._threshold_in), np.asarray(cfg.threshold)])
+    state0 = tuple(jnp.zeros(n1 + n2, jnp.int32) for _ in range(3))
+    block, _, _ = _sim_hidden(
+        jnp.asarray(inp_full),
+        jnp.asarray(w_full, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(dash_syn, jnp.int32),
+        jnp.asarray(dash_mem, jnp.int32),
+        jnp.asarray(thr, jnp.int32),
+        state0,
+        uniform_rec=False,
+        record=False,
+    )
+    np.testing.assert_array_equal(ours, np.asarray(block))
 
 
 def test_push_to_hidden_localizes(demos):
