@@ -30,14 +30,25 @@ from .sim import XyloSim
 from .spec import build_localization_spec
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bas", "robust_width", "bipolar")
-)
-def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
-    """STHT → real-stack → filterbank → band-concat → RZCC → polarity split.
+def _stht_method() -> str:
+    """STHT quadrature-FIR backend for the encode path.  Measured on v5e:
+    blocked-Toeplitz MXU matmuls (ops/fir._fir_block_matmul) beat the
+    padded-FFT convolution ~3x at benchmark shape; XLA's fp32 1-D conv
+    lowering ("conv") is ~6x slower than the FFT despite half the taps.
+    Override with HM2024_STHT_METHOD=fft|conv|blockmm."""
+    import os
 
-    Port of ``Demo.spike_encoding`` (micloc/xylo_snn_localization.py:315-356).
-    Output: (T, 2·2M·F) int32 when bipolar else (T, 2M·F).
+    m = os.environ.get("HM2024_STHT_METHOD")
+    if m:
+        return m
+    return "blockmm" if jax.default_backend() == "tpu" else "fft"
+
+
+@functools.partial(jax.jit, static_argnames=("bas", "stht_method"))
+def _encode_cumsum(sig_in, kernel, bas, stht_method="fft"):
+    """Audio frame (T, M) → integrated bandpassed analytic stack (C, T).
+
+    First half of ``Demo.spike_encoding`` (micloc/xylo_snn_localization.py:315-342).
 
     TPU optimization: the RZCC encoder peaks the *cumsum* of the bandpassed
     signal; cumsum ∘ IIR(b, a) == IIR(b, a ⊛ [1, −1]), so the integration is
@@ -47,7 +58,7 @@ def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
     """
     from ...ops.iir import iir_filter
 
-    sig_h = stht(sig_in, kernel, axis=0)
+    sig_h = stht(sig_in, kernel, axis=0, method=stht_method)
     sig_real = jnp.concatenate([sig_h.real, sig_h.imag], axis=1)  # (T, 2M)
 
     if jax.default_backend() == "tpu":
@@ -73,8 +84,18 @@ def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
             )
             for b, a in bas
         ]
-    cs_all = jnp.concatenate(css, axis=1).T  # channel-major (C, T)
+    return jnp.concatenate(css, axis=1).T  # channel-major (C, T)
 
+
+@functools.partial(jax.jit, static_argnames=("robust_width", "bipolar"))
+def _spikes_from_cumsum(cs_all, robust_width, bipolar):
+    """Integrated stack (..., C, T) → RZCC spike raster (..., T, C or 2C).
+
+    Second half of ``Demo.spike_encoding``
+    (micloc/xylo_snn_localization.py:344-355); batch-native over leading dims
+    so the suppression's isolation fast path stays a true conditional (inside
+    ``vmap`` it would execute both branches).
+    """
     # bounded plateau search: exact for continuous signals, avoids full-length
     # cummax passes; one encoded boundary pass yields both polarities
     # (see ops/peaks.local_extrema_mask_bounded)
@@ -82,17 +103,31 @@ def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar):
 
     maxima, minima = local_extrema_mask_bounded(cs_all, 2 * robust_width)
     if bipolar:
-        cand = jnp.concatenate([maxima, minima], axis=0)
-        heights = jnp.concatenate([cs_all, -cs_all], axis=0)
+        cand = jnp.concatenate([maxima, minima], axis=-2)
+        heights = jnp.concatenate([cs_all, -cs_all], axis=-2)
         masks = select_by_distance(cand, heights, robust_width)
-        C = cs_all.shape[0]
-        peaks, valleys = masks[:C], masks[C:]
+        C = cs_all.shape[-2]
+        peaks, valleys = masks[..., :C, :], masks[..., C:, :]
         # reference overwrite semantics: −1 wins on collision
         pos = (peaks & ~valleys).astype(jnp.int32)
         neg = valleys.astype(jnp.int32)
-        return jnp.concatenate([pos.T, neg.T], axis=1)  # (T, 2C)
+        out = jnp.concatenate([pos, neg], axis=-2)  # (..., 2C, T)
+        return jnp.swapaxes(out, -1, -2)  # (..., T, 2C)
     masks = select_by_distance(maxima, cs_all, robust_width)
-    return masks.T.astype(jnp.int32)
+    return jnp.swapaxes(masks, -1, -2).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bas", "robust_width", "bipolar", "stht_method")
+)
+def _spike_encoding_core(sig_in, kernel, bas, robust_width, bipolar, stht_method="fft"):
+    """STHT → real-stack → filterbank → band-concat → RZCC → polarity split.
+
+    Port of ``Demo.spike_encoding`` (micloc/xylo_snn_localization.py:315-356).
+    Output: (T, 2·2M·F) int32 when bipolar else (T, 2M·F).
+    """
+    cs_all = _encode_cumsum(sig_in, kernel, bas=bas, stht_method=stht_method)
+    return _spikes_from_cumsum(cs_all, robust_width=robust_width, bipolar=bipolar)
 
 
 class Demo:
@@ -231,6 +266,7 @@ class Demo:
             bas=self._bas,
             robust_width=self.beamfs[0].robust_width,
             bipolar=self.bipolar_spikes,
+            stht_method=_stht_method(),
         )
 
     def xylo_process(self, spikes_in) -> jnp.ndarray:
@@ -464,10 +500,13 @@ class Demo:
 
         from ...ops.pallas.lif_kernel import lif_count_rates
 
+        stht_method = _stht_method()
+
         @jax.jit
         def fwd(sig_in):
             spikes = _spike_encoding_core(
-                sig_in, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar
+                sig_in, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar,
+                stht_method=stht_method,
             )
             T = spikes.shape[0]
             counts = lif_count_rates(cfg, spikes[None].astype(jnp.int8))[0]
@@ -540,15 +579,33 @@ class Demo:
 
         from ...ops.pallas.lif_kernel import lif_count_rates
 
+        stht_method = _stht_method()
+
+        from ...ops.peaks import local_extrema_mask_bounded, select_by_distance
+
         @jax.jit
         def fwd(sig_batch):
-            enc = jax.vmap(
-                lambda s: _spike_encoding_core(
-                    s, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar
-                )
-            )(sig_batch)
-            T = enc.shape[1]
-            counts = lif_count_rates(cfg, enc.astype(jnp.int8))
+            cs = jax.vmap(
+                lambda s: _encode_cumsum(s, kernel, bas=bas, stht_method=stht_method)
+            )(sig_batch)  # (B, C, T)
+            # batch-native spike extraction (suppression over all frames in
+            # one set of pooling passes), int8 spikes in the LIF kernel's
+            # (T, B, C) layout — one transpose on the hot path
+            maxima, minima = local_extrema_mask_bounded(cs, 2 * robust_width)
+            if bipolar:
+                cand = jnp.concatenate([maxima, minima], axis=-2)
+                heights = jnp.concatenate([cs, -cs], axis=-2)
+                masks = select_by_distance(cand, heights, robust_width)
+                C = cs.shape[-2]
+                peaks, valleys = masks[..., :C, :], masks[..., C:, :]
+                pos = (peaks & ~valleys).astype(jnp.int8)
+                neg = valleys.astype(jnp.int8)
+                enc_bct = jnp.concatenate([pos, neg], axis=-2)  # (B, 2C, T)
+            else:
+                enc_bct = select_by_distance(maxima, cs, robust_width).astype(jnp.int8)
+            enc_tbc = jnp.transpose(enc_bct, (2, 0, 1))  # (T, B, C')
+            T = enc_tbc.shape[0]
+            counts = lif_count_rates(cfg, enc_tbc, time_major=True)
             rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             doa = doa_list[jnp.argmax(rate_doa, axis=-1)]

@@ -157,12 +157,15 @@ def _lif_count_impl(spikes_tbc, w_in, dash_syn, dash_mem, threshold, rec_coef, t
     return counts[:, :N]
 
 
-def lif_count_rates(config, spikes_in_batch, time_chunk: int = 32):
+def lif_count_rates(config, spikes_in_batch, time_chunk: int = 32, time_major: bool = False):
     """Hidden-layer spike counts (B, N_hid) of the quantized LIF network.
 
     Exactly matches summing ``sim_hidden_batch(config, spikes)`` over time
     (same integer dynamics), without materializing the raster.  Requires a
     uniform (or zero) recurrence matrix; dense w_rec → use the scan simulator.
+
+    ``time_major=True`` takes spikes already laid out (T, B, C) — the kernel's
+    native layout — skipping a transpose on the hot path.
     """
     wr = np.asarray(config.w_rec)
     if wr.size and not np.all(wr == wr.flat[0]):
@@ -175,10 +178,13 @@ def lif_count_rates(config, spikes_in_batch, time_chunk: int = 32):
         # through the lax.scan simulator on CPU/GPU
         from ...models.xylo.sim import sim_hidden_batch
 
-        return sim_hidden_batch(config, jnp.asarray(spikes_in_batch, jnp.int32)).sum(axis=1)
+        spikes = jnp.asarray(spikes_in_batch, jnp.int32)
+        if time_major:
+            spikes = jnp.transpose(spikes, (1, 0, 2))
+        return sim_hidden_batch(config, spikes).sum(axis=1)
 
     spikes = jnp.asarray(spikes_in_batch, jnp.int8)
-    spikes_tbc = jnp.transpose(spikes, (1, 0, 2))  # (T, B, C)
+    spikes_tbc = spikes if time_major else jnp.transpose(spikes, (1, 0, 2))  # (T, B, C)
     return _lif_count_impl(
         spikes_tbc,
         jnp.asarray(config.w_in, jnp.int32),

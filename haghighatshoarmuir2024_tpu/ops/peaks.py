@@ -277,9 +277,14 @@ def select_by_distance(cand_mask, height, distance):
         active = active & ~in_winner_win
         return active, kept
 
-    active0 = cand_mask
-    kept0 = jnp.zeros_like(cand_mask)
-    _, kept = jax.lax.while_loop(cond, body, (active0, kept0))
+    # Round 1 hoisted out of the while loop: it always runs, and for the RZCC
+    # encode path it resolves everything (candidates interact only through
+    # noise-induced pairs, which the window-max round settles immediately) —
+    # hoisting lets XLA fuse it with the surrounding program instead of
+    # paying loop-carry copies; the while loop then starts on an (almost
+    # always empty) residual of ≥3-candidate chains.
+    state = body((cand_mask, jnp.zeros_like(cand_mask)))
+    _, kept = jax.lax.while_loop(cond, body, state)
     return kept
 
 
