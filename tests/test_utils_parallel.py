@@ -183,3 +183,47 @@ def test_model_from_config():
     assert snn.robust_width == (48_000 // 1900) // 2
     m = MUSIC.from_config(MUSICConfig(), geo, np.linspace(-np.pi, np.pi, 8))
     assert m.frame_duration == 0.25
+
+
+def test_data_parallel_program_partitions_per_device():
+    """Structural scaling evidence (single-core host: wall-clock speedup is
+    unmeasurable, so assert the compiled SPMD module instead): sharding the
+    Monte-Carlo trial axis over 8 virtual devices must give each device a
+    1/8 parameter block, with cross-device traffic limited to scalar
+    statistics reductions (experiments/multichip_scaling.py records the
+    full census)."""
+    import re
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from haghighatshoarmuir2024_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_devices=8, shape=(8, 1))
+    num_sims = 32
+    keys = jax.random.split(jax.random.PRNGKey(0), num_sims)
+
+    def step(keys):
+        # representative per-trial compute: synthesize → reduce
+        def trial(k):
+            x = jax.random.normal(k, (512,))
+            return jnp.mean(x**2)
+
+        vals = jax.vmap(trial)(keys)
+        return jnp.mean(vals)
+
+    sh = NamedSharding(mesh, P("data", None))
+    compiled = (
+        jax.jit(step, in_shardings=sh, out_shardings=NamedSharding(mesh, P()))
+        .lower(jax.device_put(keys, sh))
+        .compile()
+    )
+    txt = compiled.as_text()
+    m = re.search(r"%param[\w.]* = u32\[(\d+),2\]", txt)
+    assert m is not None, "trial-key parameter not found in compiled module"
+    assert int(m.group(1)) == num_sims // 8  # per-device block = 1/8 of work
+    # statistics-only communication: scalar all-reduce, no big all-gathers
+    assert re.search(r"f\d+\[\] all-reduce\(", txt)  # f64 under the x64 test config
+    for shape in re.findall(r"(\w+)\[([\d,]+)\][^\n]*all-gather\(", txt):
+        sizes = [int(s) for s in shape[1].split(",") if s]
+        assert np.prod(sizes) <= num_sims, f"large all-gather found: {shape}"

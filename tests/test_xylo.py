@@ -352,3 +352,42 @@ def test_matched_profile_estimator():
         est = float(d.estimate_doa_from_rate(rate, "matched"))
         errs_m.append(np.rad2deg(np.arcsin(abs(np.sin(est - doa_true)))))
     assert max(errs_m) <= 1.5 * grid_step, errs_m
+
+
+def test_matched_profile_estimator_unipolar():
+    """Unipolar-path calibration regression (VERDICT r1 #6): the matched
+    estimator must localize noiseless and mildly noisy tones within a couple
+    of grid steps on the unipolar (DC-removed singular vector) design, where
+    the reference-parity peak estimator carries an ~8-12 deg warp
+    (experiments/target_xylo_localization.py --unipolar; RESULTS.md)."""
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 65)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=False,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    d.calibrate_profiles(batch=16, use_cache=False)
+    t = np.arange(0, 0.1, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    grid_step = np.rad2deg(grid[1] - grid[0])
+    key = jax.random.PRNGKey(1)
+    errs_clean, errs_noisy = [], []
+    for doa_true in (-2.0, -0.5, 1.1, 2.6):
+        sig_in = np.asarray(signal_from_template(geometry, t, sig, doa_true, fs=FS))
+        _, rate = d.forward(sig_in)
+        est = float(d.estimate_doa_from_rate(rate, "matched"))
+        errs_clean.append(np.rad2deg(np.arcsin(abs(np.sin(est - doa_true)))))
+        key, sub = jax.random.split(key)
+        noisy = sig_in + 0.1 * np.asarray(jax.random.normal(sub, sig_in.shape), np.float64)
+        _, rate_n = d.forward(noisy)
+        est_n = float(d.estimate_doa_from_rate(rate_n, "matched"))
+        errs_noisy.append(np.rad2deg(np.arcsin(abs(np.sin(est_n - doa_true)))))
+    assert max(errs_clean) <= 2.0 * grid_step, errs_clean
+    assert max(errs_noisy) <= 3.0 * grid_step, errs_noisy
