@@ -170,8 +170,6 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
         return y
 
     if method == "blocked":
-        if zi is not None or return_state:
-            raise ValueError("zi/return_state require method='scan'")
         SB = 32
         G_np, H_np, Bm_np, ASB_np = _cached_block_matrices(
             tuple(np.asarray(b, np.float64).tolist()),
@@ -185,6 +183,11 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
         xf = xm.reshape(T, -1)
         L = xf.shape[1]
         pad = (-T) % SB
+        if pad and return_state:
+            raise ValueError(
+                "return_state with method='blocked' requires the time axis to "
+                f"be a multiple of the block size {SB} (got T={T})"
+            )
         if pad:
             xf = jnp.concatenate([xf, jnp.zeros((pad, L), xf.dtype)], axis=0)
         nb = xf.shape[0] // SB
@@ -200,11 +203,18 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
         def blk(s, sp):
             return ASB @ s + sp, s
 
-        s0 = jnp.zeros((N, L), xf.dtype)
-        _, s_prev = jax.lax.scan(blk, s0, sP)
+        if zi is None:
+            s0 = jnp.zeros((N, L), xf.dtype)
+        else:
+            # zi: batch_shape + (N,) → (N, L), matching the flattened lanes
+            s0 = jnp.asarray(zi, dtype=xf.dtype).reshape(-1, N).T
+        s_fin, s_prev = jax.lax.scan(blk, s0, sP)
         y = yP + jnp.einsum("jn,bnl->bjl", H, s_prev)
         y = y.reshape(nb * SB, L)[:T].reshape((T,) + batch_shape)
-        return jnp.moveaxis(y, 0, axis)
+        y = jnp.moveaxis(y, 0, axis)
+        if return_state:
+            return y, s_fin.T.reshape(batch_shape + (N,))
+        return y
 
     if method == "parallel":
         if zi is not None or return_state:

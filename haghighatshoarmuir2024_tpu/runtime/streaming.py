@@ -39,7 +39,9 @@ import jax.numpy as jnp
 class StreamState(NamedTuple):
     fir_tail: jnp.ndarray  # (K-1, M) raw-signal history for the quadrature FIR
     delay_line: jnp.ndarray  # (K//2, M) in-phase delay
-    iir_state: jnp.ndarray  # (C, N_state) integrated-bandpass filter state
+    iir_state: jnp.ndarray  # (C, N_state) filter state (folded form on CPU;
+    #                         bandpass-only TDF2 state on TPU)
+    int_carry: jnp.ndarray  # (C,) integrator carry (TPU path; zeros on CPU)
     pending: jnp.ndarray  # (guard + P, C) undecided integrated samples
     isyn: jnp.ndarray  # (N,) int32
     vmem: jnp.ndarray  # (N,) int32
@@ -61,16 +63,26 @@ class StreamingLocalizer:
         self.num_mic = len(demo.geometry)
         self.bipolar = demo.bipolar_spikes
 
-        # integrated-bandpass coefficient set per band (cumsum folded in)
+        # integrated-bandpass coefficient set per band (cumsum folded in):
+        # the exact sequential CPU form.  On TPU the marginally-stable folded
+        # filter does not survive float32 in lifted block form (CLAUDE.md), so
+        # the TPU path runs the STABLE bandpass blocked (carried TDF2 state)
+        # and the integrator as a carried-offset cumsum — mirroring the
+        # offline pipeline's TPU branch.
         from ..ops.iir import _tdf2_matrices
 
+        self._on_tpu = jax.default_backend() == "tpu"
         self._filters = []
+        self._bp = []
         for b, a in demo.filterbank.ba_list:
             a_int = np.convolve(np.asarray(a), [1.0, -1.0])
             A, Bv, b0 = _tdf2_matrices(np.asarray(b), a_int)
             self._filters.append((A, Bv, b0, np.asarray(b), a_int))
+            self._bp.append((np.asarray(b), np.asarray(a)))
         self.C = 2 * self.num_mic * len(self._filters)
-        self.N_state = self._filters[0][0].shape[0]
+        self.N_state = (
+            len(self._bp[0][1]) - 1 if self._on_tpu else self._filters[0][0].shape[0]
+        )
 
         cfg = demo.xylo_config
         self._cfg = cfg
@@ -91,6 +103,7 @@ class StreamingLocalizer:
             fir_tail=z(self.K - 1, self.num_mic),
             delay_line=z(self.K // 2, self.num_mic),
             iir_state=z(self.C // len(self._filters) * len(self._filters), self.N_state),
+            int_carry=z(self.C),
             pending=z(self.guard + self.pending, self.C),
             isyn=zi(n),
             vmem=zi(n),
@@ -131,13 +144,19 @@ class StreamingLocalizer:
             vmem = vmem - spk_new * threshold
             return (isyn, vmem, spk_new), spk_new
 
+        on_tpu = self._on_tpu
+        bp_filters = self._bp
+
         def encode(state: StreamState, chunk):
             """Encode-only step: (state, (Tc, M) chunk) → (partial new state
             with LIF fields untouched, (Tc, 2C) spike raster)."""
+            from ..ops.iir import iir_filter
+
             Tc = chunk.shape[0]
             # --- STHT streaming
             ext = jnp.concatenate([state.fir_tail, chunk], axis=0)
-            quad = fir_filter(kernel, ext, axis=0)[K - 1 :]
+            fir_method = "blockmm" if on_tpu else "fft"
+            quad = fir_filter(kernel, ext, axis=0, method=fir_method)[K - 1 :]
             line = jnp.concatenate([state.delay_line, chunk], axis=0)
             inphase = line[:Tc]
             new_delay = line[Tc:]
@@ -147,19 +166,34 @@ class StreamingLocalizer:
             # --- integrated bandpass per band with carried state
             outs = []
             states = []
+            carries = []
             ch_per_band = 2 * num_mic
             for i, (A, Bv, b0, b, a_int) in enumerate(filters):
-                from ..ops.iir import iir_filter
-
                 zi = state.iir_state[i * ch_per_band : (i + 1) * ch_per_band]
-                y, zf = iir_filter(
-                    b, a_int, sig_real, axis=0, method="scan",
-                    zi=zi, return_state=True,
-                )
+                if on_tpu:
+                    # stable bandpass (blocked MXU form when the chunk tiles,
+                    # scan otherwise), integrator as a carried cumsum —
+                    # matches the offline TPU encode
+                    bb, aa = bp_filters[i]
+                    bp_method = "blocked" if Tc % 32 == 0 else "scan"
+                    y, zf = iir_filter(
+                        bb, aa, sig_real, axis=0, method=bp_method,
+                        zi=zi, return_state=True,
+                    )
+                    carry = state.int_carry[i * ch_per_band : (i + 1) * ch_per_band]
+                    y = jnp.cumsum(y, axis=0) + carry[None, :]
+                    carries.append(y[-1])
+                else:
+                    y, zf = iir_filter(
+                        b, a_int, sig_real, axis=0, method="scan",
+                        zi=zi, return_state=True,
+                    )
+                    carries.append(jnp.zeros(ch_per_band, y.dtype))
                 outs.append(y)
                 states.append(zf)
             integrated = jnp.concatenate(outs, axis=1)  # (Tc, C)
             new_iir = jnp.concatenate(states, axis=0)
+            new_carry = jnp.concatenate(carries, axis=0)
 
             # --- RZCC with guard+pending seam
             analysis = jnp.concatenate([state.pending, integrated], axis=0)
@@ -183,6 +217,7 @@ class StreamingLocalizer:
                 fir_tail=new_tail,
                 delay_line=new_delay,
                 iir_state=new_iir,
+                int_carry=new_carry,
                 pending=new_pending,
                 steps=state.steps + Tc,
             )
