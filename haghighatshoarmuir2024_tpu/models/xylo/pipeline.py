@@ -581,30 +581,33 @@ class Demo:
 
         stht_method = _stht_method()
 
-        from ...ops.peaks import local_extrema_mask_bounded, select_by_distance
+        from ...ops.peaks import local_extrema_mask_bounded
+        from ...ops.pallas.suppress_kernel import select_by_distance_tm
 
         @jax.jit
         def fwd(sig_batch):
             cs = jax.vmap(
                 lambda s: _encode_cumsum(s, kernel, bas=bas, stht_method=stht_method)
             )(sig_batch)  # (B, C, T)
-            # batch-native spike extraction (suppression over all frames in
-            # one set of pooling passes), int8 spikes in the LIF kernel's
-            # (T, B, C) layout — one transpose on the hot path
+            # batch-native spike extraction: the fused time-major suppression
+            # kernel (one HBM sweep per round) emits masks already in the LIF
+            # kernel's (T, B, C) layout
             maxima, minima = local_extrema_mask_bounded(cs, 2 * robust_width)
+            B, C, T = cs.shape
             if bipolar:
-                cand = jnp.concatenate([maxima, minima], axis=-2)
-                heights = jnp.concatenate([cs, -cs], axis=-2)
-                masks = select_by_distance(cand, heights, robust_width)
-                C = cs.shape[-2]
-                peaks, valleys = masks[..., :C, :], masks[..., C:, :]
+                cand = jnp.concatenate([maxima, minima], axis=-2).reshape(B * 2 * C, T)
+                heights = jnp.concatenate([cs, -cs], axis=-2).reshape(B * 2 * C, T)
+                masks = select_by_distance_tm(cand.T, heights.T, robust_width)
+                m = masks.reshape(T, B, 2, C)
+                peaks, valleys = m[:, :, 0, :], m[:, :, 1, :]
                 pos = (peaks & ~valleys).astype(jnp.int8)
                 neg = valleys.astype(jnp.int8)
-                enc_bct = jnp.concatenate([pos, neg], axis=-2)  # (B, 2C, T)
+                enc_tbc = jnp.concatenate([pos, neg], axis=-1)  # (T, B, 2C)
             else:
-                enc_bct = select_by_distance(maxima, cs, robust_width).astype(jnp.int8)
-            enc_tbc = jnp.transpose(enc_bct, (2, 0, 1))  # (T, B, C')
-            T = enc_tbc.shape[0]
+                masks = select_by_distance_tm(
+                    maxima.reshape(B * C, T).T, cs.reshape(B * C, T).T, robust_width
+                )
+                enc_tbc = masks.reshape(T, B, C).astype(jnp.int8)
             counts = lif_count_rates(cfg, enc_tbc, time_major=True)
             rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)

@@ -197,20 +197,6 @@ class StreamingLocalizer:
 
             # --- RZCC with guard+pending seam
             analysis = jnp.concatenate([state.pending, integrated], axis=0)
-            cs = analysis.T  # (C, guard+P+Tc)
-            both = jnp.concatenate([cs, -cs], axis=0) if bipolar else cs
-            masks = find_peaks_mask(both, rw, max_plateau=2 * rw)
-            # decide [guard, guard + Tc) — i.e. the previous pending plus the
-            # part of this chunk older than the new pending window
-            decided = masks[:, guard : guard + Tc]
-            if bipolar:
-                Cn = cs.shape[0]
-                peaks, valleys = decided[:Cn], decided[Cn:]
-                pos = (peaks & ~valleys).astype(jnp.int32)
-                neg = valleys.astype(jnp.int32)
-                spikes = jnp.concatenate([pos.T, neg.T], axis=1)  # (Tc, 2C)
-            else:
-                spikes = decided.T.astype(jnp.int32)
             new_pending = analysis[Tc:]
 
             enc_state = state._replace(
@@ -221,11 +207,52 @@ class StreamingLocalizer:
                 pending=new_pending,
                 steps=state.steps + Tc,
             )
-            return enc_state, spikes
+            return enc_state, analysis
+
+        def decide(analysis, Tc):
+            """Seam spike decisions for one stream: (L, C) analysis window →
+            (Tc, 2C or C) spike raster over [guard, guard + Tc)."""
+            cs = analysis.T  # (C, guard+P+Tc)
+            both = jnp.concatenate([cs, -cs], axis=0) if bipolar else cs
+            masks = find_peaks_mask(both, rw, max_plateau=2 * rw)
+            decided = masks[:, guard : guard + Tc]
+            if bipolar:
+                Cn = cs.shape[0]
+                peaks, valleys = decided[:Cn], decided[Cn:]
+                pos = (peaks & ~valleys).astype(jnp.int32)
+                neg = valleys.astype(jnp.int32)
+                return jnp.concatenate([pos.T, neg.T], axis=1)  # (Tc, 2C)
+            return decided.T.astype(jnp.int32)
+
+        def decide_batch(analysis_b, Tc):
+            """Batch-native seam decisions (B, L, C) → (B, Tc, 2C or C) via
+            the fused time-major suppression kernel (same semantics as
+            ``decide``; TPU serving path)."""
+            from ..ops.peaks import local_extrema_mask_bounded
+            from ..ops.pallas.suppress_kernel import select_by_distance_tm
+
+            cs_b = jnp.swapaxes(analysis_b, 1, 2)  # (B, C, L)
+            B, C, L = cs_b.shape
+            maxima, minima = local_extrema_mask_bounded(cs_b, 2 * rw)
+            if bipolar:
+                cand = jnp.concatenate([maxima, minima], axis=-2).reshape(B * 2 * C, L)
+                heights = jnp.concatenate([cs_b, -cs_b], axis=-2).reshape(B * 2 * C, L)
+                masks = select_by_distance_tm(cand.T, heights.T, rw)
+                m = masks[guard : guard + Tc].reshape(Tc, B, 2, C)
+                pos = (m[:, :, 0, :] & ~m[:, :, 1, :]).astype(jnp.int8)
+                neg = m[:, :, 1, :].astype(jnp.int8)
+                spikes_tbc = jnp.concatenate([pos, neg], axis=-1)  # (Tc, B, 2C)
+            else:
+                masks = select_by_distance_tm(
+                    maxima.reshape(B * C, L).T, cs_b.reshape(B * C, L).T, rw
+                )
+                spikes_tbc = masks[guard : guard + Tc].reshape(Tc, B, C).astype(jnp.int8)
+            return jnp.transpose(spikes_tbc, (1, 0, 2))  # (B, Tc, C')
 
         @jax.jit
         def step(state: StreamState, chunk):
-            enc_state, spikes = encode(state, chunk)
+            enc_state, analysis = encode(state, chunk)
+            spikes = decide(analysis, chunk.shape[0])
             # --- integer LIF with carried state
             inp = jnp.dot(spikes.astype(jnp.float32), w_in, preferred_element_type=jnp.float32)
             (isyn, vmem, spk), spk_seq = jax.lax.scan(
@@ -245,7 +272,11 @@ class StreamingLocalizer:
             over the whole stream batch (identical integers to the scan)."""
             from ..ops.pallas.lif_kernel import lif_count_stateful
 
-            enc_state, spikes = jax.vmap(encode)(state, chunks)
+            enc_state, analysis_b = jax.vmap(encode)(state, chunks)
+            if on_tpu:
+                spikes = decide_batch(analysis_b, chunks.shape[1])
+            else:
+                spikes = jax.vmap(lambda a: decide(a, chunks.shape[1]))(analysis_b)
             counts_new, isyn, vmem, spk = lif_count_stateful(
                 cfg, spikes, state.isyn, state.vmem, state.spk
             )

@@ -1,0 +1,66 @@
+"""Parity tests for the fused time-major suppression kernel
+(ops/pallas/suppress_kernel.py) vs the XLA reference formulation
+(ops/peaks.select_by_distance), driven in interpret mode on CPU."""
+import numpy as np
+import jax.numpy as jnp
+
+from haghighatshoarmuir2024_tpu.ops.peaks import (
+    local_maxima_mask,
+    select_by_distance,
+)
+from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import select_by_distance_tm
+
+
+def xla_ref(cand_rt, height_rt, distance):
+    return np.asarray(select_by_distance(jnp.asarray(cand_rt), jnp.asarray(height_rt), distance))
+
+
+def fused(cand_rt, height_rt, distance):
+    out = select_by_distance_tm(
+        jnp.asarray(cand_rt.T), jnp.asarray(height_rt.T), distance, interpret=True
+    )
+    return np.asarray(out).T
+
+
+def test_suppress_fused_random_signals():
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        x = rng.standard_normal((5, 400)).astype(np.float32)
+        x = np.cumsum(x, axis=-1)
+        cand = np.asarray(local_maxima_mask(jnp.asarray(x)))
+        for d in (1, 3, 7, 12):
+            np.testing.assert_array_equal(fused(cand, x, d), xla_ref(cand, x, d))
+
+
+def test_suppress_fused_dense_chains():
+    # adversarial: candidates everywhere, long suppression chains -> many rounds
+    rng = np.random.default_rng(1)
+    h = rng.standard_normal((3, 257)).astype(np.float32)
+    cand = np.ones_like(h, bool)
+    for d in (2, 5, 11):
+        np.testing.assert_array_equal(fused(cand, h, d), xla_ref(cand, h, d))
+
+
+def test_suppress_fused_exact_ties_rightmost():
+    # bit-identical heights inside one window: rightmost wins in both versions
+    h = np.zeros((1, 64), np.float32)
+    cand = np.zeros((1, 64), bool)
+    h[0, [10, 15, 40, 45, 50]] = 1.0  # exact ties
+    cand[0, [10, 15, 40, 45, 50]] = True
+    for d in (6, 11, 40):
+        np.testing.assert_array_equal(fused(cand, h, d), xla_ref(cand, h, d))
+
+
+def test_suppress_fused_ragged_shapes():
+    rng = np.random.default_rng(2)
+    # T not multiple of 8, rows not multiple of the lane tile
+    h = np.cumsum(rng.standard_normal((9, 203)).astype(np.float32), axis=-1)
+    cand = np.asarray(local_maxima_mask(jnp.asarray(h)))
+    np.testing.assert_array_equal(fused(cand, h, 5), xla_ref(cand, h, 5))
+
+
+def test_suppress_fused_empty_and_full():
+    h = np.linspace(0, 1, 100, dtype=np.float32)[None, :]
+    cand = np.zeros((1, 100), bool)
+    np.testing.assert_array_equal(fused(cand, h, 5), xla_ref(cand, h, 5))
+    assert fused(cand, h, 5).sum() == 0
