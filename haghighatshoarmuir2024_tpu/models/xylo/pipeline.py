@@ -582,7 +582,10 @@ class Demo:
         stht_method = _stht_method()
 
         from ...ops.peaks import local_extrema_mask_bounded
-        from ...ops.pallas.suppress_kernel import select_by_distance_tm
+        from ...ops.pallas.suppress_kernel import (
+            rzcc_select_bipolar_tm,
+            select_by_distance_tm,
+        )
 
         @jax.jit
         def fwd(sig_batch):
@@ -590,18 +593,21 @@ class Demo:
                 lambda s: _encode_cumsum(s, kernel, bas=bas, stht_method=stht_method)
             )(sig_batch)  # (B, C, T)
             # batch-native spike extraction: the fused time-major suppression
-            # kernel (one HBM sweep per round) emits masks already in the LIF
-            # kernel's (T, B, C) layout
+            # kernel (one HBM sweep per round, both polarities from one read
+            # of cs) emits masks already in the LIF kernel's (T, B, C) layout
             maxima, minima = local_extrema_mask_bounded(cs, 2 * robust_width)
             B, C, T = cs.shape
             if bipolar:
-                cand = jnp.concatenate([maxima, minima], axis=-2).reshape(B * 2 * C, T)
-                heights = jnp.concatenate([cs, -cs], axis=-2).reshape(B * 2 * C, T)
-                masks = select_by_distance_tm(cand.T, heights.T, robust_width)
-                m = masks.reshape(T, B, 2, C)
-                peaks, valleys = m[:, :, 0, :], m[:, :, 1, :]
-                pos = (peaks & ~valleys).astype(jnp.int8)
-                neg = valleys.astype(jnp.int8)
+                kp, kn = rzcc_select_bipolar_tm(
+                    cs.reshape(B * C, T).T,
+                    maxima.reshape(B * C, T).T,
+                    minima.reshape(B * C, T).T,
+                    robust_width,
+                )
+                kp = kp.reshape(T, B, C)
+                kn = kn.reshape(T, B, C)
+                pos = (kp & ~kn).astype(jnp.int8)
+                neg = kn.astype(jnp.int8)
                 enc_tbc = jnp.concatenate([pos, neg], axis=-1)  # (T, B, 2C)
             else:
                 masks = select_by_distance_tm(

@@ -102,7 +102,7 @@ def _lif_kernel(
         cnt_ref[:] = cnt_ref[:] + spk_new
         return 0
 
-    jax.lax.fori_loop(0, TC, step, 0, unroll=1)
+    jax.lax.fori_loop(0, TC, step, 0, unroll=TC)
 
     @pl.when(t == nt - 1)
     def _():
@@ -246,7 +246,7 @@ def _lif_kernel_stateful(
         cnt_ref[:] = cnt_ref[:] + spk_new
         return 0
 
-    jax.lax.fori_loop(0, TC, step, 0, unroll=1)
+    jax.lax.fori_loop(0, TC, step, 0, unroll=TC)
 
     @pl.when(t == nt - 1)
     def _():

@@ -229,18 +229,25 @@ class StreamingLocalizer:
             the fused time-major suppression kernel (same semantics as
             ``decide``; TPU serving path)."""
             from ..ops.peaks import local_extrema_mask_bounded
-            from ..ops.pallas.suppress_kernel import select_by_distance_tm
+            from ..ops.pallas.suppress_kernel import (
+                rzcc_select_bipolar_tm,
+                select_by_distance_tm,
+            )
 
             cs_b = jnp.swapaxes(analysis_b, 1, 2)  # (B, C, L)
             B, C, L = cs_b.shape
             maxima, minima = local_extrema_mask_bounded(cs_b, 2 * rw)
             if bipolar:
-                cand = jnp.concatenate([maxima, minima], axis=-2).reshape(B * 2 * C, L)
-                heights = jnp.concatenate([cs_b, -cs_b], axis=-2).reshape(B * 2 * C, L)
-                masks = select_by_distance_tm(cand.T, heights.T, rw)
-                m = masks[guard : guard + Tc].reshape(Tc, B, 2, C)
-                pos = (m[:, :, 0, :] & ~m[:, :, 1, :]).astype(jnp.int8)
-                neg = m[:, :, 1, :].astype(jnp.int8)
+                kp, kn = rzcc_select_bipolar_tm(
+                    cs_b.reshape(B * C, L).T,
+                    maxima.reshape(B * C, L).T,
+                    minima.reshape(B * C, L).T,
+                    rw,
+                )
+                kp = kp[guard : guard + Tc].reshape(Tc, B, C)
+                kn = kn[guard : guard + Tc].reshape(Tc, B, C)
+                pos = (kp & ~kn).astype(jnp.int8)
+                neg = kn.astype(jnp.int8)
                 spikes_tbc = jnp.concatenate([pos, neg], axis=-1)  # (Tc, B, 2C)
             else:
                 masks = select_by_distance_tm(

@@ -64,3 +64,21 @@ def test_suppress_fused_empty_and_full():
     cand = np.zeros((1, 100), bool)
     np.testing.assert_array_equal(fused(cand, h, 5), xla_ref(cand, h, 5))
     assert fused(cand, h, 5).sum() == 0
+
+
+def test_rzcc_bipolar_fused_matches_xla():
+    from haghighatshoarmuir2024_tpu.ops.peaks import local_extrema_mask_bounded
+    from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (
+        rzcc_select_bipolar_tm,
+    )
+
+    rng = np.random.default_rng(5)
+    cs = np.cumsum(rng.standard_normal((6, 500)).astype(np.float32), axis=-1)
+    maxima, minima = local_extrema_mask_bounded(jnp.asarray(cs), 24)
+    for d in (3, 7, 12):
+        kp, kn = rzcc_select_bipolar_tm(
+            jnp.asarray(cs.T), jnp.asarray(np.asarray(maxima).T),
+            jnp.asarray(np.asarray(minima).T), d, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(kp).T, xla_ref(np.asarray(maxima), cs, d))
+        np.testing.assert_array_equal(np.asarray(kn).T, xla_ref(np.asarray(minima), -cs, d))
