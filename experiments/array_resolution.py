@@ -22,6 +22,7 @@ def main(template_kind: str = "sin", num_grid: int = 16 * 7):
     kernel_duration = 10e-3
 
     results = {}
+    pats = {}
     for freq_design in (1_000.0, 2_000.0, 3_600.0, 4_000.0, 8_000.0):
         freq_range = (0.5 * freq_design, freq_design)
         bf = Beamformer(geometry, kernel_duration, freq_range, fs=FS)
@@ -36,6 +37,10 @@ def main(template_kind: str = "sin", num_grid: int = 16 * 7):
             "beamwidth_3db_deg_mean": float(np.mean(widths)),
             "beamwidth_3db_deg_max": float(np.max(widths)),
         }
+        pats[f"{freq_design:.0f} Hz"] = np.asarray(pattern[num_grid // 2])
+    from common import fig_polar_patterns
+
+    fig_polar_patterns(pats, doa_list, f"array_resolution_{template_kind}.pdf")
     print(json.dumps({"experiment": f"array_resolution_{template_kind}", "results": results}, indent=2))
     return results
 

@@ -37,6 +37,7 @@ def build_geometry(kind: str):
 def main(kind: str = "circular", bipolar: bool = True):
     geometry, doa_list = build_geometry(kind)
     results = {}
+    pats = {}
     for freq_design in (1_000.0, 2_000.0, 4_000.0):
         freq_range = (0.5 * freq_design, freq_design)
         freq_mid = float(np.mean(freq_range))
@@ -52,6 +53,10 @@ def main(kind: str = "circular", bipolar: bool = True):
             "beamwidth_3db_deg_mean": float(np.mean(widths)),
             "beamwidth_3db_deg_max": float(np.max(widths)),
         }
+        pats[f"{freq_design:.0f} Hz"] = np.asarray(pattern[len(doa_list) // 2])
+    from common import fig_polar_patterns
+
+    fig_polar_patterns(pats, doa_list, f"array_resolution_snn_{kind}.pdf")
     print(
         json.dumps(
             {"experiment": f"array_resolution_snn_{kind}", "results": results}, indent=2

@@ -147,3 +147,74 @@ def maybe_savefig(fig, name: str):
     if outdir:
         os.makedirs(outdir, exist_ok=True)
         fig.savefig(os.path.join(outdir, name), bbox_inches="tight")
+
+
+# ------------------------------------------------------------ figure rendering
+# The reference's paper_plots scripts emit PDF figures; the twins print
+# metrics and additionally render the same figure content when HM2024_FIG_DIR
+# is set (headless Agg backend).
+def _fig_dir():
+    return os.environ.get("HM2024_FIG_DIR")
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def fig_polar_patterns(patterns: dict, doa_list, name: str):
+    """Polar beam patterns, one subplot per entry (paper_plots/array_resolution*.py
+    figure style): ``patterns[label] = (G,) normalized pattern row``."""
+    if not _fig_dir():
+        return
+    plt = _plt()
+    n = len(patterns)
+    fig, axes = plt.subplots(
+        1, n, subplot_kw={"projection": "polar"}, figsize=(4 * n, 4)
+    )
+    if n == 1:
+        axes = [axes]
+    for ax, (label, pat) in zip(axes, patterns.items()):
+        pat = np.asarray(pat)
+        ax.plot(doa_list, pat / max(pat.max(), 1e-12))
+        ax.set_title(label, fontsize=9)
+    maybe_savefig(fig, name)
+    plt.close(fig)
+
+
+def fig_mae_vs_snr(curves: dict, name: str, ylabel: str = "MAE [deg]"):
+    """MAE-vs-SNR curves (paper_plots/target_*_localization.py figure style):
+    ``curves[label] = (snr_db, mae_deg)``."""
+    if not _fig_dir():
+        return
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, (snr, mae) in curves.items():
+        ax.semilogy(snr, mae, marker="o", label=label)
+    ax.set_xlabel("SNR [dB]")
+    ax.set_ylabel(ylabel)
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    maybe_savefig(fig, name)
+    plt.close(fig)
+
+
+def fig_lines(x, ys: dict, name: str, xlabel: str = "", ylabel: str = "", logy=False):
+    """Generic line plot: ``ys[label] = values``."""
+    if not _fig_dir():
+        return
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for label, y in ys.items():
+        (ax.semilogy if logy else ax.plot)(x, y, label=label)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.grid(True, alpha=0.3)
+    if len(ys) > 1:
+        ax.legend()
+    maybe_savefig(fig, name)
+    plt.close(fig)

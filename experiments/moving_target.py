@@ -84,6 +84,19 @@ def main(duration: float = 4.0, snr_db: float = 10.0, frame: float = 0.25):
         "mae_deg": float(np.rad2deg(err_x.mean())),
     }
 
+    from common import fig_lines
+
+    fig_lines(
+        frame_centers,
+        {
+            "true": np.rad2deg(doa_true),
+            "hilbert": np.rad2deg(np.asarray(ests)),
+            "xylo": np.rad2deg(np.asarray(ests_x)),
+        },
+        "moving_target_track.pdf",
+        xlabel="time [s]",
+        ylabel="DoA [deg]",
+    )
     print(json.dumps({"experiment": "moving_target", "results": results}, indent=2))
     return results
 

@@ -80,6 +80,13 @@ def main(snr_db: float = 20.0):
     out["snn"] = {"detected_deg": np.rad2deg(detect_peaks(prof_snn, doa_list)).tolist()}
 
     out["targets_deg"] = np.rad2deg(doa_targets).tolist()
+    from common import fig_polar_patterns
+
+    fig_polar_patterns(
+        {"hilbert": prof, "music": aps, "snn": prof_snn},
+        doa_list,
+        "multiple_targets.pdf",
+    )
     print(json.dumps({"experiment": "multiple_targets", "results": out}, indent=2))
     return out
 

@@ -53,10 +53,16 @@ def run(target: str = "tone", num_sims: int = 100, num_grid: int = 32 * 7, seed:
 
 
 def main():
+    from common import fig_mae_vs_snr
+
     out = {}
     for target in ("tone", "speech"):
         res = run(target=target, num_sims=100 if target == "tone" else 20)
         out[target] = summarize(res)
+    fig_mae_vs_snr(
+        {t: (out[t]["snr_db"], out[t]["mae_deg"]) for t in out},
+        "target_localization_mae.pdf",
+    )
     print(json.dumps({"experiment": "target_localization", "results": out}, indent=2))
     return out
 

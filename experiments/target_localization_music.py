@@ -40,9 +40,15 @@ def run(target: str = "tone", num_sims: int = 100, num_grid: int = 32 * 7, seed:
 
 
 def main():
+    from common import fig_mae_vs_snr
+
     out = {}
     for target, sims in (("tone", 100), ("speech", 20)):
         out[target] = summarize(run(target=target, num_sims=sims))
+    fig_mae_vs_snr(
+        {t: (out[t]["snr_db"], out[t]["mae_deg"]) for t in out},
+        "target_localization_music_mae.pdf",
+    )
     print(json.dumps({"experiment": "target_localization_music", "results": out}, indent=2))
     return out
 

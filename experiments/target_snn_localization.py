@@ -62,10 +62,16 @@ def run(
 
 
 def main():
+    from common import fig_mae_vs_snr
+
     out = {}
     for target, sims in (("tone", 100), ("speech", 20)):
         res = run(target=target, num_sims=sims)
         out[target] = summarize(res)
+    fig_mae_vs_snr(
+        {t: (out[t]["snr_db"], out[t]["mae_deg"]) for t in out},
+        "target_snn_localization_mae.pdf",
+    )
     print(json.dumps({"experiment": "target_snn_localization", "results": out}, indent=2))
     return out
 

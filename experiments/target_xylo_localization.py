@@ -74,11 +74,18 @@ def run(bipolar: bool = True, num_sims: int = 100, num_grid: int = 16 * 7, seed:
 
 
 def main():
+    from common import fig_mae_vs_snr
+
     bipolar = "--unipolar" not in sys.argv
     sims = 100 if bipolar else 20
     if "--quick" in sys.argv:
         sims = 10
     res = run(bipolar=bipolar, num_sims=sims)
+    sm = {k: summarize(v) for k, v in res.items()}
+    fig_mae_vs_snr(
+        {k: (v["snr_db"], v["mae_deg"]) for k, v in sm.items()},
+        f"target_xylo_{'bipolar' if bipolar else 'unipolar'}_mae.pdf",
+    )
     print(
         json.dumps(
             {

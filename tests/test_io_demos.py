@@ -139,3 +139,18 @@ def test_xylo_demo_activity_detection():
     )
     doa = d.process_frame(sig_in)
     assert np.isfinite(doa)
+
+
+def test_experiment_figure_helpers(tmp_path, monkeypatch):
+    """Figure rendering twins of the paper_plots PDF outputs (HM2024_FIG_DIR)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "experiments"))
+    import common
+
+    monkeypatch.setenv("HM2024_FIG_DIR", str(tmp_path))
+    doa = np.linspace(-np.pi, np.pi, 32)
+    common.fig_polar_patterns({"1 kHz": np.abs(np.cos(doa))}, doa, "pat.pdf")
+    common.fig_mae_vs_snr({"tone": ([0, 10, 20], [5.0, 2.0, 1.0])}, "mae.pdf")
+    common.fig_lines([0, 1, 2], {"a": [1, 2, 3]}, "lines.pdf", xlabel="t")
+    for f in ("pat.pdf", "mae.pdf", "lines.pdf"):
+        assert (tmp_path / f).exists() and (tmp_path / f).stat().st_size > 0
