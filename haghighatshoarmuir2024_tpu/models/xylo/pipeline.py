@@ -44,9 +44,12 @@ def _stht_method() -> str:
     return "blockmm" if jax.default_backend() == "tpu" else "fft"
 
 
-@functools.partial(jax.jit, static_argnames=("bas", "stht_method"))
-def _encode_cumsum(sig_in, kernel, bas, stht_method="fft"):
-    """Audio frame (T, M) → integrated bandpassed analytic stack (C, T).
+@functools.partial(jax.jit, static_argnames=("bas", "stht_method", "time_major"))
+def _encode_cumsum(sig_in, kernel, bas, stht_method="fft", time_major=False):
+    """Audio frame (T, M) → integrated bandpassed analytic stack (C, T)
+    (or (T, C) with ``time_major=True`` — the whole computation is naturally
+    time-major, so this skips the final transpose for consumers in that
+    layout, e.g. the fused Pallas RZCC kernel).
 
     First half of ``Demo.spike_encoding`` (micloc/xylo_snn_localization.py:315-342).
 
@@ -62,15 +65,14 @@ def _encode_cumsum(sig_in, kernel, bas, stht_method="fft"):
     sig_real = jnp.concatenate([sig_h.real, sig_h.imag], axis=1)  # (T, 2M)
 
     if jax.default_backend() == "tpu":
-        # stable bandpass in lifted block form (batched MXU matmuls + a
-        # 32x-shorter scan), then the integrator as a cumsum — the lifted
-        # matrices of the marginally-stable integrated filter do not survive
-        # float32, so the integrator stays separate on TPU
+        # stable bandpass + integrator in ONE lifted blocked pass (batched MXU
+        # matmuls + a 32x-shorter scan): the cumsum is folded into the block
+        # form's output map, with the marginal instability confined to the
+        # exactly-carried running offset (ops/iir._iir_cumsum_blocked) — the
+        # lifted matrices of the integrated filter itself would not survive
+        # float32
         css = [
-            jnp.cumsum(
-                iir_filter(np.asarray(b), np.asarray(a), sig_real, axis=0, method="blocked"),
-                axis=0,
-            )
+            iir_filter(np.asarray(b), np.asarray(a), sig_real, axis=0, method="blocked_cumsum")
             for b, a in bas
         ]
     else:
@@ -84,7 +86,8 @@ def _encode_cumsum(sig_in, kernel, bas, stht_method="fft"):
             )
             for b, a in bas
         ]
-    return jnp.concatenate(css, axis=1).T  # channel-major (C, T)
+    out = jnp.concatenate(css, axis=1)  # time-major (T, C)
+    return out if time_major else out.T  # channel-major (C, T) by default
 
 
 @functools.partial(jax.jit, static_argnames=("robust_width", "bipolar"))
@@ -499,17 +502,31 @@ class Demo:
         fs = self.fs
 
         from ...ops.pallas.lif_kernel import lif_count_rates
+        from ...ops.pallas.suppress_kernel import rzcc_encode_bipolar_tm
 
         stht_method = _stht_method()
 
         @jax.jit
         def fwd(sig_in):
-            spikes = _spike_encoding_core(
-                sig_in, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar,
-                stht_method=stht_method,
-            )
+            if bipolar and jax.default_backend() == "tpu":
+                # single-frame flagship on the same fused time-major kernels
+                # as the batch path (in-kernel extrema + suppression)
+                cs_tm = _encode_cumsum(
+                    sig_in, kernel, bas=bas, stht_method=stht_method, time_major=True
+                )  # (T, C)
+                kp, kn = rzcc_encode_bipolar_tm(cs_tm, robust_width, 2 * robust_width)
+                pos = (kp & ~kn).astype(jnp.int8)
+                neg = kn.astype(jnp.int8)
+                spikes = jnp.concatenate([pos, neg], axis=-1)  # (T, 2C)
+            else:
+                spikes = _spike_encoding_core(
+                    sig_in, kernel, bas=bas, robust_width=robust_width, bipolar=bipolar,
+                    stht_method=stht_method,
+                )
             T = spikes.shape[0]
-            counts = lif_count_rates(cfg, spikes[None].astype(jnp.int8))[0]
+            # spike_bound=1: RZCC emits binary masks, enabling the kernel's
+            # static no-saturation proof (clip elision, identical integers)
+            counts = lif_count_rates(cfg, spikes[None].astype(jnp.int8), spike_bound=1)[0]
             rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(-1, num_DoA).mean(0)
             doa = doa_list[jnp.argmax(rate_doa)]
@@ -577,44 +594,49 @@ class Demo:
         num_DoA = len(self.doa_list)
         fs = self.fs
 
-        from ...ops.pallas.lif_kernel import lif_count_rates
+        from ...ops.pallas.lif_kernel import lif_count_rates, lif_count_rates_bipolar
 
         stht_method = _stht_method()
 
         from ...ops.peaks import local_extrema_mask_bounded
         from ...ops.pallas.suppress_kernel import (
-            rzcc_select_bipolar_tm,
+            rzcc_encode_bipolar_tm,
             select_by_distance_tm,
         )
 
         @jax.jit
         def fwd(sig_batch):
-            cs = jax.vmap(
-                lambda s: _encode_cumsum(s, kernel, bas=bas, stht_method=stht_method)
-            )(sig_batch)  # (B, C, T)
-            # batch-native spike extraction: the fused time-major suppression
-            # kernel (one HBM sweep per round, both polarities from one read
-            # of cs) emits masks already in the LIF kernel's (T, B, C) layout
-            maxima, minima = local_extrema_mask_bounded(cs, 2 * robust_width)
-            B, C, T = cs.shape
+            # time-major end-to-end: the encode is naturally (T, ...) inside,
+            # so vmapping to (T, B, C) costs nothing and the (B·C, T)→(T, B·C)
+            # transpose between encode and suppression disappears
+            cs_tm = jax.vmap(
+                lambda s: _encode_cumsum(
+                    s, kernel, bas=bas, stht_method=stht_method, time_major=True
+                ),
+                out_axes=1,
+            )(sig_batch)  # (T, B, C)
+            T, B, C = cs_tm.shape
             if bipolar:
-                kp, kn = rzcc_select_bipolar_tm(
-                    cs.reshape(B * C, T).T,
-                    maxima.reshape(B * C, T).T,
-                    minima.reshape(B * C, T).T,
+                # fully fused RZCC: bounded-plateau extrema of ±cs AND the
+                # greedy suppression in one Pallas program family — round 1
+                # reads only the f32 signal; the polarity masks then feed the
+                # LIF kernel directly (pos = kp & ~kn combined in-kernel)
+                kp, kn = rzcc_encode_bipolar_tm(
+                    cs_tm.reshape(T, B * C), robust_width, 2 * robust_width
+                )
+                counts = lif_count_rates_bipolar(
+                    cfg, kp.reshape(T, B, C), kn.reshape(T, B, C), spike_bound=1
+                )
+            else:
+                cs_rt = jnp.moveaxis(cs_tm, 0, -1)
+                maxima, _ = local_extrema_mask_bounded(cs_rt, 2 * robust_width)
+                masks = select_by_distance_tm(
+                    jnp.moveaxis(maxima, -1, 0).reshape(T, B * C),
+                    cs_tm.reshape(T, B * C),
                     robust_width,
                 )
-                kp = kp.reshape(T, B, C)
-                kn = kn.reshape(T, B, C)
-                pos = (kp & ~kn).astype(jnp.int8)
-                neg = kn.astype(jnp.int8)
-                enc_tbc = jnp.concatenate([pos, neg], axis=-1)  # (T, B, 2C)
-            else:
-                masks = select_by_distance_tm(
-                    maxima.reshape(B * C, T).T, cs.reshape(B * C, T).T, robust_width
-                )
                 enc_tbc = masks.reshape(T, B, C).astype(jnp.int8)
-            counts = lif_count_rates(cfg, enc_tbc, time_major=True)
+                counts = lif_count_rates(cfg, enc_tbc, time_major=True, spike_bound=1)
             rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             doa = doa_list[jnp.argmax(rate_doa, axis=-1)]

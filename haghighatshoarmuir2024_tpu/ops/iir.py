@@ -216,6 +216,9 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
             return y, s_fin.T.reshape(batch_shape + (N,))
         return y
 
+    if method == "blocked_cumsum":
+        return _iir_cumsum_blocked(b, a, x, axis=axis, zi=zi, return_state=return_state)
+
     if method == "parallel":
         if zi is not None or return_state:
             raise ValueError("zi/return_state require method='scan'")
@@ -237,3 +240,89 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
         return jnp.moveaxis(y, 0, axis)
 
     raise ValueError(f"unknown IIR method: {method}")
+
+
+def _iir_cumsum_blocked(b, a, x, axis: int = 0, zi=None, return_state: bool = False):
+    """``cumsum(lfilter(b, a, x), axis)`` as ONE lifted blocked pass.
+
+    The RZCC encoder peaks the *integrated* bandpassed signal
+    (micloc/spike_encoder.py:115-127 via micloc/xylo_snn_localization.py:344);
+    running the integrator as a separate full-length cumsum costs extra HBM
+    sweeps, and folding ``[1, -1]`` into the denominator makes the lifted
+    matrices marginally stable (they do not survive float32 — CLAUDE.md).
+    Instead the integrator is *part of the lifted block form* of the stable
+    filter: with ``y_blk = G x_blk + H s_in`` the within-block prefix sums are
+    ``z_blk = (LT·G) x_blk + (LT·H) s_in + c_in`` (LT = lower-triangular ones)
+    and the carried offset updates exactly like a blocked cumsum,
+    ``c_out = c_in + 1ᵀG x_blk + 1ᵀH s_in`` — all instability confined to the
+    float addition of per-block sums, the same associativity as
+    ``cumsum``-of-blocks.  Matches ``cumsum(lfilter(...))`` to float
+    associativity; golden-tested against the scipy composition.
+
+    State (``zi`` / returned): batch_shape + (N+1,) — the TDF2 filter state
+    with the running integrator total appended.
+    """
+    SB = 32
+    b64 = np.asarray(b, np.float64)
+    a64 = np.asarray(a, np.float64)
+    G_np, H_np, Bm_np, ASB_np = _cached_block_matrices(
+        tuple(b64.tolist()), tuple(a64.tolist()), SB
+    )
+    LT = np.tril(np.ones((SB, SB)))
+    G2_np, H2_np = LT @ G_np, LT @ H_np
+    g1_np, h1_np = G_np.sum(axis=0), H_np.sum(axis=0)
+    N = ASB_np.shape[0]
+
+    x = jnp.asarray(x)
+    xm = jnp.moveaxis(x, axis, 0)
+    T = xm.shape[0]
+    batch_shape = xm.shape[1:]
+    rdtype = jnp.real(jnp.zeros((), xm.dtype)).dtype
+
+    xf = xm.reshape(T, -1)
+    L = xf.shape[1]
+    pad = (-T) % SB
+    if pad and return_state:
+        raise ValueError(
+            "return_state with method='blocked_cumsum' requires the time axis "
+            f"to be a multiple of the block size {SB} (got T={T})"
+        )
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, L), xf.dtype)], axis=0)
+    nb = xf.shape[0] // SB
+    xb = xf.reshape(nb, SB, L)
+
+    G2 = jnp.asarray(G2_np, rdtype)
+    H2 = jnp.asarray(H2_np, rdtype)
+    Bm = jnp.asarray(Bm_np, rdtype)
+    ASB = jnp.asarray(ASB_np, rdtype)
+    g1 = jnp.asarray(g1_np, rdtype)
+    h1 = jnp.asarray(h1_np, rdtype)
+
+    zP = jnp.einsum("ji,bil->bjl", G2, xb)  # within-block prefix sums of y
+    sP = jnp.einsum("ni,bil->bnl", Bm, xb)
+    cP = jnp.einsum("i,bil->bl", g1, xb)  # per-block sums of y
+
+    if zi is None:
+        s0 = jnp.zeros((N, L), xf.dtype)
+        c0 = jnp.zeros((L,), xf.dtype)
+    else:
+        zif = jnp.asarray(zi, xf.dtype).reshape(-1, N + 1)
+        s0 = zif[:, :N].T
+        c0 = zif[:, N]
+
+    def blk(carry, inp):
+        s, c = carry
+        sP_b, cP_b = inp
+        c_next = c + cP_b + h1 @ s
+        s_next = ASB @ s + sP_b
+        return (s_next, c_next), (s, c)
+
+    (s_fin, c_fin), (s_prev, c_prev) = jax.lax.scan(blk, (s0, c0), (sP, cP))
+    z = zP + jnp.einsum("jn,bnl->bjl", H2, s_prev) + c_prev[:, None, :]
+    z = z.reshape(nb * SB, L)[:T].reshape((T,) + batch_shape)
+    z = jnp.moveaxis(z, 0, axis)
+    if return_state:
+        state = jnp.concatenate([s_fin.T, c_fin[:, None]], axis=1)
+        return z, state.reshape(batch_shape + (N + 1,))
+    return z

@@ -39,37 +39,73 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _halo_block(margin: int) -> int:
+    """Smallest power-of-two multiple of 128 that covers ``margin`` and
+    divides TB — the halo inputs are fetched as blocks of this size instead
+    of full TB blocks (2-3x less DMA per round)."""
+    mb = 128
+    while mb < margin:
+        mb *= 2
+    return min(mb, TB)
+
+
+def _margin(w: int, W: int = 0, rounds: int = 1) -> int:
+    """Halo margin (samples) that makes the center block's outputs exact:
+    each suppression round chains three w-windows (wmax → tie-id → deletion)
+    and the in-kernel extrema reach ``W + 1`` — everything past
+    ``rounds·3(w+1) + W + 1`` cannot influence the center block.  Rounded up
+    to the sublane tile."""
+    return _round_up(W + 1 + rounds * 3 * (w + 1) + 8, 8)
+
+
+def _halo_specs(MB: int, Tp: int):
+    """(prev, cur, next) BlockSpecs where the halos are MB-row blocks taken
+    from the tail/head of the neighbouring TB block (MB divides TB, so the
+    halo lands on an MB-aligned block index).  Clamped edge halos contain
+    arbitrary rows; the kernels mask them off by global position."""
+    q = TB // MB
+    nb = Tp // MB
+    prev = pl.BlockSpec(
+        (MB, R_TILE), lambda t, r: (jnp.maximum(t * q - 1, 0), r),
+        memory_space=pltpu.VMEM,
+    )
+    cur = pl.BlockSpec((TB, R_TILE), lambda t, r: (t, r), memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec(
+        (MB, R_TILE), lambda t, r: (jnp.minimum(t * q + q, nb - 1), r),
+        memory_space=pltpu.VMEM,
+    )
+    return prev, cur, nxt
+
+
 def _round_kernel(
     hp_ref, hc_ref, hn_ref,  # heights: prev/cur/next time blocks (TB, R)
     ap_ref, ac_ref, an_ref,  # active masks (int8)
     kept_ref,  # kept mask, cur block (int8)
-    act_out_ref, kept_out_ref,
-    *, w: int, T: int,
+    act_out_ref, kept_out_ref, flag_out_ref,
+    *, w: int, T: int, M: int,
 ):
     t = pl.program_id(0)
-    nt = pl.num_programs(0)
     R = hc_ref.shape[1]
+    TBe = TB + 2 * M  # M-row halo blocks, not full TB blocks: less DMA + VPU
 
     h3 = jnp.concatenate([hp_ref[:], hc_ref[:], hn_ref[:]], axis=0)
     # Mask plumbing stays in FLOAT arithmetic: Mosaic cannot truncate i8
     # vectors to i1, and XLA folds int-upcast-then-compare back into exactly
     # that truncation; booleans below only ever come from float/i32 compares.
-    a3f = jnp.concatenate([ap_ref[:], ac_ref[:], an_ref[:]], axis=0).astype(jnp.float32)
+    a3f = jnp.concatenate([ap_ref[:], ac_ref[:], an_ref[:]], axis=0).astype(
+        jnp.float32
+    )
 
-    # positions; halo blocks clamped at the edges are masked inactive
-    base = (t - 1) * TB
-    iota = jax.lax.broadcasted_iota(jnp.int32, (3 * TB, R), 0) + base
-    local = jax.lax.broadcasted_iota(jnp.int32, (3 * TB, R), 0)
-    edge_ok = (iota >= 0) & (iota < T)
-    a3f = a3f * edge_ok.astype(jnp.float32)
-    a3f = jnp.where((t == 0) & (local < TB), 0.0, a3f)
-    a3f = jnp.where((t == nt - 1) & (local >= 2 * TB), 0.0, a3f)
+    # positions; clamped edge blocks land outside [0, T) and are masked off
+    base = t * TB - M
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0) + base
+    a3f = a3f * ((iota >= 0) & (iota < T)).astype(jnp.float32)
 
     NEG = jnp.float32(-3.0e38)
 
     def shift_down(v, s, fill):
         pad = jnp.full((s, R), fill, v.dtype)
-        return jnp.concatenate([pad, v[: 3 * TB - s]], axis=0)
+        return jnp.concatenate([pad, v[: TBe - s]], axis=0)
 
     def shift_up(v, s, fill):
         pad = jnp.full((s, R), fill, v.dtype)
@@ -91,21 +127,33 @@ def _round_kernel(
             k += step
         return z
 
+    def leading_any(v, L):
+        # max over (p, p+L] — one-directional, half the cost of a full window
+        z = shift_up(v, 1, jnp.float32(0.0))
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            z = jnp.maximum(z, shift_up(z, step, jnp.float32(0.0)))
+            k += step
+        return z
+
     h = h3 * a3f + NEG * (1.0 - a3f)  # active ? h3 : -big (select-free)
     wmax = window_max(h, NEG)
     top = (h == wmax) & (a3f > 0.5)
-    tid = jnp.where(top, iota, jnp.int32(-1))
-    wtid = window_max(tid, jnp.int32(-1))
-    winner = top & (wtid == iota)
+    # two window-maxima within w samples provably tie in height, so the
+    # rightmost wins: winner = top with NO top strictly to its right within w
+    top_f = top.astype(jnp.float32)
+    winner = top & (leading_any(top_f, w) < 0.5)
     win_f = winner.astype(jnp.float32)
-    in_win_f = window_max(win_f, jnp.float32(0.0))[TB : 2 * TB]
+    in_win_f = window_max(win_f, jnp.float32(0.0))[M : M + TB]
 
     acf = ac_ref[:].astype(jnp.float32)
     kpf = kept_ref[:].astype(jnp.float32)
     act_new = acf * (1.0 - in_win_f)
-    kept_new = jnp.maximum(kpf, win_f[TB : 2 * TB])
+    kept_new = jnp.maximum(kpf, win_f[M : M + TB])
     act_out_ref[:] = act_new.astype(jnp.int8)
     kept_out_ref[:] = kept_new.astype(jnp.int8)
+    flag_out_ref[t, pl.program_id(1)] = jnp.max(act_new).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
@@ -118,25 +166,21 @@ def _suppress_tm_impl(height_tm, cand_tm, w: int, interpret: bool = False):
     kept0 = jnp.zeros((Tp, Rp), jnp.int8)
 
     nt = Tp // TB
-    kernel = functools.partial(_round_kernel, w=w, T=T)
+    MB = _halo_block(_margin(w))
+    kernel = functools.partial(_round_kernel, w=w, T=T, M=MB)
+    prev, cur, nxt = _halo_specs(MB, Tp)
 
-    def blk(off):
-        # prev/cur/next tilings; edge blocks clamp (masked inactive in-kernel)
-        def index_map(t, r):
-            return (jnp.clip(t + off, 0, nt - 1), r)
-
-        return pl.BlockSpec((TB, R_TILE), index_map, memory_space=pltpu.VMEM)
-
-    cur = pl.BlockSpec((TB, R_TILE), lambda t, r: (t, r), memory_space=pltpu.VMEM)
-
+    nr = Rp // R_TILE
+    flag = pl.BlockSpec(memory_space=pltpu.SMEM)
     round_call = pl.pallas_call(
         kernel,
-        grid=(nt, Rp // R_TILE),
-        in_specs=[blk(-1), blk(0), blk(+1), blk(-1), blk(0), blk(+1), cur],
-        out_specs=(cur, cur),
+        grid=(nt, nr),
+        in_specs=[prev, cur, nxt, prev, cur, nxt, cur],
+        out_specs=(cur, cur, flag),
         out_shape=(
             jax.ShapeDtypeStruct((Tp, Rp), jnp.int8),
             jax.ShapeDtypeStruct((Tp, Rp), jnp.int8),
+            jax.ShapeDtypeStruct((nt, nr), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -145,14 +189,15 @@ def _suppress_tm_impl(height_tm, cand_tm, w: int, interpret: bool = False):
     )
 
     def cond(state):
-        active, kept = state
-        return jnp.any(active != 0)
+        active, kept, flags = state
+        return jnp.any(flags != 0)
 
     def body(state):
-        active, kept = state
+        active, kept, flags = state
         return round_call(h, h, h, active, active, active, kept)
 
-    _, kept = jax.lax.while_loop(cond, body, (active0, kept0))
+    flags0 = jnp.ones((nt, nr), jnp.int32)  # enter the loop at least once
+    _, kept, _ = jax.lax.while_loop(cond, body, (active0, kept0, flags0))
     return kept[:T, :R]
 
 
@@ -161,8 +206,8 @@ def _round_kernel_bipolar(
     pp_ref, pc_ref, pn_ref,  # active masks, positive polarity (int8)
     qp_ref, qc_ref, qn_ref,  # active masks, negative polarity (int8)
     kp_ref, kn_ref,  # kept masks, cur block (int8)
-    pos_out_ref, neg_out_ref, kp_out_ref, kn_out_ref,
-    *, w: int, T: int,
+    pos_out_ref, neg_out_ref, kp_out_ref, kn_out_ref, flag_out_ref,
+    *, w: int, T: int, M: int,
 ):
     """One suppression round for BOTH RZCC polarities from one read of cs.
 
@@ -172,24 +217,19 @@ def _round_kernel_bipolar(
     just ``-cs`` in-register.
     """
     t = pl.program_id(0)
-    nt = pl.num_programs(0)
     R = hc_ref.shape[1]
+    TBe = TB + 2 * M
 
     h3 = jnp.concatenate([hp_ref[:], hc_ref[:], hn_ref[:]], axis=0)
-    base = (t - 1) * TB
-    iota = jax.lax.broadcasted_iota(jnp.int32, (3 * TB, R), 0) + base
-    local = jax.lax.broadcasted_iota(jnp.int32, (3 * TB, R), 0)
-    edge_f = (
-        ((iota >= 0) & (iota < T)).astype(jnp.float32)
-        * jnp.where((t == 0) & (local < TB), 0.0, 1.0)
-        * jnp.where((t == nt - 1) & (local >= 2 * TB), 0.0, 1.0)
-    )
+    base = t * TB - M
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0) + base
+    edge_f = ((iota >= 0) & (iota < T)).astype(jnp.float32)
 
     NEG = jnp.float32(-3.0e38)
 
     def shift_down(v, s, fill):
         pad = jnp.full((s, R), fill, v.dtype)
-        return jnp.concatenate([pad, v[: 3 * TB - s]], axis=0)
+        return jnp.concatenate([pad, v[: TBe - s]], axis=0)
 
     def shift_up(v, s, fill):
         pad = jnp.full((s, R), fill, v.dtype)
@@ -210,6 +250,15 @@ def _round_kernel_bipolar(
             k += step
         return z
 
+    def leading_any(v, L):
+        z = shift_up(v, 1, jnp.float32(0.0))
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            z = jnp.maximum(z, shift_up(z, step, jnp.float32(0.0)))
+            k += step
+        return z
+
     def one_polarity(signed_h, a_refs, k_ref):
         ap, ac, an = a_refs
         a3f = jnp.concatenate([ap[:], ac[:], an[:]], axis=0).astype(jnp.float32)
@@ -217,15 +266,14 @@ def _round_kernel_bipolar(
         h = signed_h * a3f + NEG * (1.0 - a3f)
         wmax = window_max(h, NEG)
         top = (h == wmax) & (a3f > 0.5)
-        tid = jnp.where(top, iota, jnp.int32(-1))
-        wtid = window_max(tid, jnp.int32(-1))
-        winner = top & (wtid == iota)
+        top_f = top.astype(jnp.float32)
+        winner = top & (leading_any(top_f, w) < 0.5)
         win_f = winner.astype(jnp.float32)
-        in_win_f = window_max(win_f, jnp.float32(0.0))[TB : 2 * TB]
+        in_win_f = window_max(win_f, jnp.float32(0.0))[M : M + TB]
         acf = ac[:].astype(jnp.float32)
         kpf = k_ref[:].astype(jnp.float32)
         act_new = acf * (1.0 - in_win_f)
-        kept_new = jnp.maximum(kpf, win_f[TB : 2 * TB])
+        kept_new = jnp.maximum(kpf, win_f[M : M + TB])
         return act_new.astype(jnp.int8), kept_new.astype(jnp.int8)
 
     pos_act, pos_kept = one_polarity(h3, (pp_ref, pc_ref, pn_ref), kp_ref)
@@ -234,6 +282,233 @@ def _round_kernel_bipolar(
     neg_out_ref[:] = neg_act
     kp_out_ref[:] = pos_kept
     kn_out_ref[:] = neg_kept
+    flag_out_ref[t, pl.program_id(1)] = (
+        jnp.max(pos_act.astype(jnp.int32)) + jnp.max(neg_act.astype(jnp.int32))
+    )
+
+
+def _round_kernel_bipolar_first(
+    hp_ref, hc_ref, hn_ref,  # integrated signal cs: prev/cur/next (TB, R) f32
+    pos_out_ref, neg_out_ref, kp_out_ref, kn_out_ref, flag_out_ref,
+    *, w: int, W: int, T: int, M: int, rounds: int,
+):
+    """Fused RZCC round 1: bounded-plateau extrema of ±cs computed IN-REGISTER
+    from the signal halos, then one suppression round for both polarities —
+    the XLA extrema pass (ops/peaks.local_extrema_mask_bounded) and its two
+    HBM mask round-trips disappear; round 1 reads ONLY the f32 signal.
+
+    The extrema logic mirrors ``local_extrema_mask_bounded`` exactly (sign-
+    encoded boundary indices, trailing-max/leading-min over the plateau bound
+    ``W``, plateau-midpoint test); extrema are valid wherever the round-1
+    window ops read them because the margin ``M ≥ W + 1 + 3(w+1)`` covers the
+    full chain of window dependencies.
+    """
+    t = pl.program_id(0)
+    R = hc_ref.shape[1]
+    TBe = TB + 2 * M
+
+    h3 = jnp.concatenate([hp_ref[:], hc_ref[:], hn_ref[:]], axis=0)
+    base = t * TB - M
+    iota = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0) + base
+    local = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0)
+
+    NEG = jnp.float32(-3.0e38)
+    BIG = jnp.int32(2**30)
+
+    def shift_down(v, s, fill):
+        pad = jnp.full((s, R), fill, v.dtype)
+        return jnp.concatenate([pad, v[: TBe - s]], axis=0)
+
+    def shift_up(v, s, fill):
+        pad = jnp.full((s, R), fill, v.dtype)
+        return jnp.concatenate([v[s:], pad], axis=0)
+
+    def trailing_max(v, L, fill):
+        y = v
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            y = jnp.maximum(y, shift_down(y, step, fill))
+            k += step
+        return y
+
+    def leading_min(v, L, fill):
+        y = v
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            y = jnp.minimum(y, shift_up(y, step, fill))
+            k += step
+        return y
+
+    def window_max(v, fill):
+        y = v
+        k = 1
+        while k < w + 1:
+            step = min(k, w + 1 - k)
+            y = jnp.maximum(y, shift_down(y, step, fill))
+            k += step
+        z = y
+        k = 1
+        while k < w + 1:
+            step = min(k, w + 1 - k)
+            z = jnp.maximum(z, shift_up(z, step, fill))
+            k += step
+        return z
+
+    # --- bounded-plateau extrema from the signal (d[i] = sign(h[i+1] - h[i]))
+    d = jnp.sign(shift_up(h3, 1, jnp.float32(0.0)) - h3)
+    valid_d = (iota >= 0) & (iota < T - 1) & (local < TBe - 1)
+    rise = valid_d & (d > 0.0)
+    fall = valid_d & (d < 0.0)
+    enc = jnp.where(rise, 2 * iota + 1, jnp.where(fall, 2 * iota, jnp.int32(-1)))
+    encN = jnp.where(rise, 2 * iota + 1, jnp.where(fall, 2 * iota, BIG))
+
+    last = shift_down(trailing_max(enc, W, jnp.int32(-1)), 1, jnp.int32(-1))
+    nxt = leading_min(encN, W, BIG)
+
+    has_last = last >= 0
+    last_rise = has_last & ((last & 1) == 1)
+    has_next = nxt < BIG
+    next_fall = has_next & ((nxt & 1) == 0)
+    l = (last >> 1) + 1
+    r = nxt >> 1
+    mid_ok = iota == ((l + r) >> 1)
+
+    maxima = last_rise & next_fall & mid_ok
+    minima = has_last & (~last_rise) & has_next & (~next_fall) & mid_ok
+
+    # --- ``rounds`` suppression rounds per polarity, candidates in-register
+    # (the margin covers the full chain, so k fused rounds are exactly k
+    # launched rounds; audio resolves in 2, making the fallback loop a no-op)
+    def leading_any(v, L):
+        z = shift_up(v, 1, jnp.float32(0.0))
+        k = 1
+        while k < L:
+            step = min(k, L - k)
+            z = jnp.maximum(z, shift_up(z, step, jnp.float32(0.0)))
+            k += step
+        return z
+
+    def one_polarity(signed_h, cand):
+        act = cand.astype(jnp.float32)
+        kept = jnp.zeros_like(act)
+        for _ in range(rounds):
+            h = signed_h * act + NEG * (1.0 - act)
+            wmax = window_max(h, NEG)
+            top = (h == wmax) & (act > 0.5)
+            top_f = top.astype(jnp.float32)
+            winner = top & (leading_any(top_f, w) < 0.5)
+            win_f = winner.astype(jnp.float32)
+            in_win_f = window_max(win_f, jnp.float32(0.0))
+            act = act * (1.0 - in_win_f)
+            kept = jnp.maximum(kept, win_f)
+        act_c = act[M : M + TB]
+        return act_c.astype(jnp.int8), kept[M : M + TB].astype(jnp.int8), act_c
+
+    pos_act, pos_kept, pa_f = one_polarity(h3, maxima)
+    neg_act, neg_kept, na_f = one_polarity(-h3, minima)
+    pos_out_ref[:] = pos_act
+    neg_out_ref[:] = neg_act
+    kp_out_ref[:] = pos_kept
+    kn_out_ref[:] = neg_kept
+    # per-block remaining-candidates flag: the fixed-point cond reads this
+    # (nt, nr) int32 array instead of re-scanning the full masks from HBM
+    flag_out_ref[t, pl.program_id(1)] = (
+        jnp.max(pa_f.astype(jnp.int32)) + jnp.max(na_f.astype(jnp.int32))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("w", "W", "interpret"))
+def _rzcc_bipolar_fused_impl(cs_tm, w: int, W: int, interpret: bool = False):
+    T, R = cs_tm.shape
+    Tp = _round_up(T, TB)
+    Rp = _round_up(R, R_TILE)
+    h = jnp.pad(cs_tm.astype(jnp.float32), ((0, Tp - T), (0, Rp - R)))
+
+    nt = Tp // TB
+    nr = Rp // R_TILE
+    flag = pl.BlockSpec(memory_space=pltpu.SMEM)
+    mask_shape = jax.ShapeDtypeStruct((Tp, Rp), jnp.int8)
+    flag_shape = jax.ShapeDtypeStruct((nt, nr), jnp.int32)
+
+    # two fused rounds: audio's candidate chains resolve in 2, so the
+    # fallback loop below is a no-op in practice (its cond reads only the
+    # tiny per-block flag array, not the full masks)
+    ROUNDS = 2
+    MB1 = _halo_block(_margin(w, W, rounds=ROUNDS))
+    prev1, cur, nxt1 = _halo_specs(MB1, Tp)
+    first_call = pl.pallas_call(
+        functools.partial(
+            _round_kernel_bipolar_first, w=w, W=W, T=T, M=MB1, rounds=ROUNDS,
+        ),
+        grid=(nt, nr),
+        in_specs=[prev1, cur, nxt1],
+        out_specs=(cur, cur, cur, cur, flag),
+        out_shape=(mask_shape,) * 4 + (flag_shape,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )
+    act_p, act_n, kp0, kn0, flags0 = first_call(h, h, h)
+
+    MB = _halo_block(_margin(w))
+    prev, cur2, nxt = _halo_specs(MB, Tp)
+    round_call = pl.pallas_call(
+        functools.partial(_round_kernel_bipolar, w=w, T=T, M=MB),
+        grid=(nt, nr),
+        in_specs=[prev, cur2, nxt] * 3 + [cur, cur],
+        out_specs=(cur, cur, cur, cur, flag),
+        out_shape=(mask_shape,) * 4 + (flag_shape,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )
+
+    def cond(state):
+        ap, an, kp, kn, flags = state
+        return jnp.any(flags != 0)
+
+    def body(state):
+        ap, an, kp, kn, flags = state
+        return round_call(h, h, h, ap, ap, ap, an, an, an, kp, kn)
+
+    _, _, kp, kn, _ = jax.lax.while_loop(
+        cond, body, (act_p, act_n, kp0, kn0, flags0)
+    )
+    return kp[:T, :R], kn[:T, :R]
+
+
+def rzcc_encode_bipolar_tm(cs_tm, distance, max_plateau: int, interpret: bool = False):
+    """Fully fused bipolar RZCC spike extraction, time-major: bounded-plateau
+    extrema of ±cs AND the greedy distance suppression in one Pallas program
+    family — round 1 reads only the integrated signal.
+
+    Exactly equals ``local_extrema_mask_bounded(cs, max_plateau)`` followed by
+    ``select_by_distance`` on each polarity (parity-tested).  Returns
+    ``(kept_pos, kept_neg)`` bool masks of shape (T, rows).
+    """
+    w = int(np.ceil(distance)) - 1
+    W = int(max_plateau)
+    if not interpret and (jax.default_backend() != "tpu" or w <= 0):
+        from ..peaks import local_extrema_mask_bounded
+
+        cs_rt = jnp.swapaxes(jnp.asarray(cs_tm), 0, -1)
+        maxima, minima = local_extrema_mask_bounded(cs_rt, W)
+        return rzcc_select_bipolar_tm(
+            cs_tm,
+            jnp.swapaxes(maxima, 0, -1),
+            jnp.swapaxes(minima, 0, -1),
+            distance,
+        )
+    if _margin(w, W) > TB:
+        raise ValueError(
+            f"suppression window w={w} / plateau bound {W} too large for time block {TB}"
+        )
+    kp, kn = _rzcc_bipolar_fused_impl(jnp.asarray(cs_tm), w=w, W=W, interpret=interpret)
+    return kp != 0, kn != 0
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
@@ -247,22 +522,19 @@ def _suppress_bipolar_impl(cs_tm, maxima_tm, minima_tm, w: int, interpret: bool 
     kept0 = jnp.zeros((Tp, Rp), jnp.int8)
 
     nt = Tp // TB
-    kernel = functools.partial(_round_kernel_bipolar, w=w, T=T)
+    MB = _halo_block(_margin(w))
+    kernel = functools.partial(_round_kernel_bipolar, w=w, T=T, M=MB)
+    prev, cur, nxt = _halo_specs(MB, Tp)
 
-    def blk(off):
-        def index_map(t, r):
-            return (jnp.clip(t + off, 0, nt - 1), r)
-
-        return pl.BlockSpec((TB, R_TILE), index_map, memory_space=pltpu.VMEM)
-
-    cur = pl.BlockSpec((TB, R_TILE), lambda t, r: (t, r), memory_space=pltpu.VMEM)
-
+    nr = Rp // R_TILE
+    flag = pl.BlockSpec(memory_space=pltpu.SMEM)
     round_call = pl.pallas_call(
         kernel,
-        grid=(nt, Rp // R_TILE),
-        in_specs=[blk(-1), blk(0), blk(+1)] * 3 + [cur, cur],
-        out_specs=(cur, cur, cur, cur),
-        out_shape=tuple(jax.ShapeDtypeStruct((Tp, Rp), jnp.int8) for _ in range(4)),
+        grid=(nt, nr),
+        in_specs=[prev, cur, nxt] * 3 + [cur, cur],
+        out_specs=(cur, cur, cur, cur, flag),
+        out_shape=tuple(jax.ShapeDtypeStruct((Tp, Rp), jnp.int8) for _ in range(4))
+        + (jax.ShapeDtypeStruct((nt, nr), jnp.int32),),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -270,14 +542,17 @@ def _suppress_bipolar_impl(cs_tm, maxima_tm, minima_tm, w: int, interpret: bool 
     )
 
     def cond(state):
-        ap, an, kp, kn = state
-        return jnp.any(ap != 0) | jnp.any(an != 0)
+        ap, an, kp, kn, flags = state
+        return jnp.any(flags != 0)
 
     def body(state):
-        ap, an, kp, kn = state
+        ap, an, kp, kn, flags = state
         return round_call(h, h, h, ap, ap, ap, an, an, an, kp, kn)
 
-    _, _, kp, kn = jax.lax.while_loop(cond, body, (act_p, act_n, kept0, kept0))
+    flags0 = jnp.ones((nt, nr), jnp.int32)  # enter the loop at least once
+    _, _, kp, kn, _ = jax.lax.while_loop(
+        cond, body, (act_p, act_n, kept0, kept0, flags0)
+    )
     return kp[:T, :R], kn[:T, :R]
 
 
@@ -305,7 +580,7 @@ def rzcc_select_bipolar_tm(cs_tm, maxima_tm, minima_tm, distance, interpret: boo
             jnp.swapaxes(jnp.asarray(minima_tm, jnp.bool_), 0, -1), -cs_rt, distance
         )
         return jnp.swapaxes(kp, 0, -1), jnp.swapaxes(kn, 0, -1)
-    if 3 * w + 8 > TB:
+    if _margin(w) > TB:
         raise ValueError(f"suppression window w={w} too large for time block {TB}")
     kp, kn = _suppress_bipolar_impl(
         jnp.asarray(cs_tm),
@@ -338,7 +613,7 @@ def select_by_distance_tm(cand_tm, height_tm, distance, interpret: bool = False)
             0,
             -1,
         )
-    if 3 * w + 8 > TB:
+    if _margin(w) > TB:
         raise ValueError(f"suppression window w={w} too large for time block {TB}")
     out = _suppress_tm_impl(
         jnp.asarray(height_tm), jnp.asarray(cand_tm), w=w, interpret=interpret

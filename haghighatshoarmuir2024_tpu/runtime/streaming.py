@@ -171,18 +171,26 @@ class StreamingLocalizer:
             for i, (A, Bv, b0, b, a_int) in enumerate(filters):
                 zi = state.iir_state[i * ch_per_band : (i + 1) * ch_per_band]
                 if on_tpu:
-                    # stable bandpass (blocked MXU form when the chunk tiles,
-                    # scan otherwise), integrator as a carried cumsum —
-                    # matches the offline TPU encode
+                    # stable bandpass + integrator fused in one lifted blocked
+                    # pass (carried TDF2 state + running offset) — matches the
+                    # offline TPU encode (ops/iir._iir_cumsum_blocked)
                     bb, aa = bp_filters[i]
-                    bp_method = "blocked" if Tc % 32 == 0 else "scan"
-                    y, zf = iir_filter(
-                        bb, aa, sig_real, axis=0, method=bp_method,
-                        zi=zi, return_state=True,
-                    )
                     carry = state.int_carry[i * ch_per_band : (i + 1) * ch_per_band]
-                    y = jnp.cumsum(y, axis=0) + carry[None, :]
-                    carries.append(y[-1])
+                    if Tc % 32 == 0:
+                        zi_f = jnp.concatenate([zi, carry[:, None]], axis=1)
+                        y, zf_f = iir_filter(
+                            bb, aa, sig_real, axis=0, method="blocked_cumsum",
+                            zi=zi_f, return_state=True,
+                        )
+                        zf = zf_f[:, :-1]
+                        carries.append(zf_f[:, -1])
+                    else:
+                        y, zf = iir_filter(
+                            bb, aa, sig_real, axis=0, method="scan",
+                            zi=zi, return_state=True,
+                        )
+                        y = jnp.cumsum(y, axis=0) + carry[None, :]
+                        carries.append(y[-1])
                 else:
                     y, zf = iir_filter(
                         b, a_int, sig_real, axis=0, method="scan",
@@ -225,36 +233,31 @@ class StreamingLocalizer:
             return decided.T.astype(jnp.int32)
 
         def decide_batch(analysis_b, Tc):
-            """Batch-native seam decisions (B, L, C) → (B, Tc, 2C or C) via
-            the fused time-major suppression kernel (same semantics as
-            ``decide``; TPU serving path)."""
+            """Batch-native seam decisions, time-major (L, B, C) →
+            (Tc, B, 2C or C) via the fully fused RZCC Pallas kernel (in-kernel
+            extrema + suppression; same semantics as ``decide``)."""
             from ..ops.peaks import local_extrema_mask_bounded
             from ..ops.pallas.suppress_kernel import (
-                rzcc_select_bipolar_tm,
+                rzcc_encode_bipolar_tm,
                 select_by_distance_tm,
             )
 
-            cs_b = jnp.swapaxes(analysis_b, 1, 2)  # (B, C, L)
-            B, C, L = cs_b.shape
-            maxima, minima = local_extrema_mask_bounded(cs_b, 2 * rw)
+            L, B, C = analysis_b.shape
+            cs_tm = analysis_b.reshape(L, B * C)
             if bipolar:
-                kp, kn = rzcc_select_bipolar_tm(
-                    cs_b.reshape(B * C, L).T,
-                    maxima.reshape(B * C, L).T,
-                    minima.reshape(B * C, L).T,
-                    rw,
-                )
+                kp, kn = rzcc_encode_bipolar_tm(cs_tm, rw, 2 * rw)
                 kp = kp[guard : guard + Tc].reshape(Tc, B, C)
                 kn = kn[guard : guard + Tc].reshape(Tc, B, C)
                 pos = (kp & ~kn).astype(jnp.int8)
                 neg = kn.astype(jnp.int8)
-                spikes_tbc = jnp.concatenate([pos, neg], axis=-1)  # (Tc, B, 2C)
-            else:
-                masks = select_by_distance_tm(
-                    maxima.reshape(B * C, L).T, cs_b.reshape(B * C, L).T, rw
-                )
-                spikes_tbc = masks[guard : guard + Tc].reshape(Tc, B, C).astype(jnp.int8)
-            return jnp.transpose(spikes_tbc, (1, 0, 2))  # (B, Tc, C')
+                return jnp.concatenate([pos, neg], axis=-1)  # (Tc, B, 2C)
+            maxima, _ = local_extrema_mask_bounded(
+                jnp.moveaxis(analysis_b, 0, -1), 2 * rw
+            )
+            masks = select_by_distance_tm(
+                jnp.moveaxis(maxima, -1, 0).reshape(L, B * C), cs_tm, rw
+            )
+            return masks[guard : guard + Tc].reshape(Tc, B, C).astype(jnp.int8)
 
         @jax.jit
         def step(state: StreamState, chunk):
@@ -279,13 +282,24 @@ class StreamingLocalizer:
             over the whole stream batch (identical integers to the scan)."""
             from ..ops.pallas.lif_kernel import lif_count_stateful
 
-            enc_state, analysis_b = jax.vmap(encode)(state, chunks)
+            # analysis comes out time-major (L, B, C): the encode is naturally
+            # (T, ...)-major, so out_axes=1 costs nothing and the fused RZCC +
+            # LIF kernels consume their native layout with zero transposes
+            enc_state, analysis_b = jax.vmap(encode, out_axes=(0, 1))(state, chunks)
             if on_tpu:
-                spikes = decide_batch(analysis_b, chunks.shape[1])
+                spikes = decide_batch(analysis_b, chunks.shape[1])  # (Tc, B, C')
             else:
-                spikes = jax.vmap(lambda a: decide(a, chunks.shape[1]))(analysis_b)
+                spikes = jnp.transpose(
+                    jax.vmap(lambda a: decide(a, chunks.shape[1]))(
+                        jnp.transpose(analysis_b, (1, 0, 2))
+                    ),
+                    (1, 0, 2),
+                )
+            # spike_bound=1: binary RZCC masks from stream start (state zeros),
+            # so the no-saturation invariant carries across chunks
             counts_new, isyn, vmem, spk = lif_count_stateful(
-                cfg, spikes, state.isyn, state.vmem, state.spk
+                cfg, spikes, state.isyn, state.vmem, state.spk,
+                spike_bound=1, time_major=True,
             )
             return (
                 enc_state._replace(
@@ -309,7 +323,9 @@ class StreamingLocalizer:
 
         ``chunk`` may be (Tc, M) for a single stream or (B, Tc, M) matched to
         a ``init_state(batch=B)`` state — the serving path advances all B
-        streams in one device launch.
+        streams in one device launch.  Single-stream spikes come back
+        (Tc, C'); batched spikes come back TIME-MAJOR (Tc, B, C') — the fused
+        RZCC and LIF kernels' native layout, kept transpose-free end-to-end.
         """
         chunk = jnp.asarray(chunk, jnp.float32)
         if chunk.ndim == 3:

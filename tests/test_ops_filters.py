@@ -71,6 +71,31 @@ def test_iir_streaming_state(rng):
     np.testing.assert_allclose(got, full, rtol=1e-10, atol=1e-12)
 
 
+def test_iir_cumsum_blocked_matches_scipy_composition(rng):
+    """cumsum folded into the lifted block form == cumsum(lfilter(...))."""
+    fs = 48_000
+    b, a = butter_bandpass(2, (1600, 1900), fs)
+    for T in (6000, 6011):  # multiple of the 32-block and ragged
+        x = rng.standard_normal((T, 4))
+        ref = np.cumsum(lfilter(b, a, x, axis=0), axis=0)
+        got = np.asarray(iir_filter(b, a, x, axis=0, method="blocked_cumsum"))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_iir_cumsum_blocked_streaming_state(rng):
+    """Chunked carried-state blocked_cumsum == one full pass (the streaming
+    seam contract: filter state + running integrator offset)."""
+    fs = 48_000
+    b, a = butter_bandpass(2, (1600, 1900), fs)
+    x = rng.standard_normal((2048, 3))
+    full = np.asarray(iir_filter(b, a, x, axis=0, method="blocked_cumsum"))
+    y1, s = iir_filter(b, a, x[:1024], axis=0, method="blocked_cumsum", return_state=True)
+    assert np.asarray(s).shape == (3, 5)  # TDF2 state (4 poles) + integrator total (1)
+    y2 = iir_filter(b, a, x[1024:], axis=0, method="blocked_cumsum", zi=s)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=0)
+    np.testing.assert_allclose(got, full, rtol=1e-7, atol=1e-9)
+
+
 def test_stht_kernel_matches_scipy():
     for n in (480, 961):
         impulse = np.zeros(n)

@@ -51,10 +51,12 @@ def make_spikes(seed, B=3, T=50, C=12, p=0.15, max_count=2):
     ).astype(np.int32)
 
 
-def pallas_counts(config, spikes_btc, time_chunk=8):
+def pallas_counts(config, spikes_btc, time_chunk=8, int8_mm=None):
     """Drive the count kernel in interpret mode (the TPU wrapper's core)."""
     wr = np.asarray(config.w_rec)
     rec_coef = int(wr.flat[0]) if wr.size else 0
+    if int8_mm is None:  # same guard as the lif_count_rates wrapper
+        int8_mm = bool(np.all(np.abs(np.asarray(config.w_in)) <= 127))
     spikes_tbc = jnp.transpose(jnp.asarray(spikes_btc, jnp.int32), (1, 0, 2))
     return np.asarray(
         _lif_count_impl(
@@ -66,6 +68,7 @@ def pallas_counts(config, spikes_btc, time_chunk=8):
             rec_coef=rec_coef,
             time_chunk=time_chunk,
             interpret=True,
+            int8_mm=int8_mm,
         )
     )
 
@@ -108,9 +111,83 @@ def test_lif_count_interpret_time_chunk_invariance():
     np.testing.assert_array_equal(a, b)
 
 
+def test_lif_count_int8_and_f32_mxu_paths_agree():
+    """The int8 MXU projection and the f32 fallback are both exact for
+    int8-range weights — identical counts bit for bit."""
+    for seed in (13, 14):
+        config = make_config(seed, rec_coef=-1, w_scale=127)
+        spikes = make_spikes(seed, T=70)
+        a = pallas_counts(config, spikes, int8_mm=True)
+        b = pallas_counts(config, spikes, int8_mm=False)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, scan_counts(config, spikes))
+
+
+def test_lif_count_no_sat_clip_elision_exact():
+    """When the static bound analysis proves the clips dead, the no_sat
+    kernel variant returns identical integers to the clipped one."""
+    from haghighatshoarmuir2024_tpu.ops.pallas.lif_kernel import (
+        _no_saturation_possible,
+    )
+
+    config = make_config(17, rec_coef=0, w_scale=40)  # small weights, binary spikes
+    config.dash_syn[:] = 2  # flagship-like decays keep the static bounds tight
+    config.dash_mem[:] = 2
+    spikes = (make_spikes(17, T=70, max_count=1) > 0).astype(np.int32)
+    assert _no_saturation_possible(config, spike_bound=1, rec_coef=0)
+
+    wr = np.asarray(config.w_rec)
+    rec_coef = int(wr.flat[0]) if wr.size else 0
+    spikes_tbc = jnp.transpose(jnp.asarray(spikes, jnp.int32), (1, 0, 2))
+    args = (
+        spikes_tbc,
+        jnp.asarray(config.w_in, jnp.int32),
+        jnp.asarray(config.dash_syn, jnp.int32),
+        jnp.asarray(config.dash_mem, jnp.int32),
+        jnp.asarray(config.threshold, jnp.int32),
+    )
+    a = _lif_count_impl(*args, rec_coef=rec_coef, time_chunk=8, interpret=True, no_sat=True)
+    b = _lif_count_impl(*args, rec_coef=rec_coef, time_chunk=8, interpret=True, no_sat=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a), scan_counts(config, spikes))
+
+    # a saturating config must NOT pass the bound analysis
+    hot = make_config(18, w_scale=5000)
+    assert not _no_saturation_possible(hot, spike_bound=3, rec_coef=0)
+
+
+def test_lif_count_bipolar_kernel_matches_combined_raster():
+    """The bipolar kernel (kp/kn in, pos = kp & ~kn combined in-kernel, dual
+    narrow dots) equals running the standard kernel on the concatenated
+    (T, B, 2C) raster — including collisions where both polarities fire."""
+    from haghighatshoarmuir2024_tpu.ops.pallas.lif_kernel import (
+        _lif_count_bipolar_impl,
+    )
+
+    rng = np.random.default_rng(23)
+    C, N, B, T = 6, 20, 3, 70
+    config = make_config(23, C=2 * C, N=N, rec_coef=-1, w_scale=30)
+    kp = (rng.random((T, B, C)) < 0.2).astype(np.int8)
+    kn = (rng.random((T, B, C)) < 0.2).astype(np.int8)  # overlaps collide
+    pos = (kp & (1 - kn)).astype(np.int32)
+    enc_btc = np.concatenate([pos, kn.astype(np.int32)], axis=-1).transpose(1, 0, 2)
+
+    for int8_mm in (True, False):
+        got = _lif_count_bipolar_impl(
+            jnp.asarray(kp), jnp.asarray(kn),
+            jnp.asarray(config.w_in, jnp.int32),
+            jnp.asarray(config.dash_syn, jnp.int32),
+            jnp.asarray(config.dash_mem, jnp.int32),
+            jnp.asarray(config.threshold, jnp.int32),
+            rec_coef=-1, time_chunk=8, interpret=True, int8_mm=int8_mm,
+        )
+        np.testing.assert_array_equal(np.asarray(got), scan_counts(config, enc_btc))
+
+
 def stateful_call(config, spikes_btc, state, time_chunk=8):
     wr = np.asarray(config.w_rec)
     rec_coef = int(wr.flat[0]) if wr.size else 0
+    int8_mm = bool(np.all(np.abs(np.asarray(config.w_in)) <= 127))
     spikes_tbc = jnp.transpose(jnp.asarray(spikes_btc, jnp.int32), (1, 0, 2))
     out = _lif_count_stateful_impl(
         spikes_tbc,
@@ -124,6 +201,7 @@ def stateful_call(config, spikes_btc, state, time_chunk=8):
         rec_coef=rec_coef,
         time_chunk=time_chunk,
         interpret=True,
+        int8_mm=int8_mm,
     )
     return np.asarray(out[0]), tuple(np.asarray(s) for s in out[1:])
 

@@ -66,6 +66,34 @@ def test_suppress_fused_empty_and_full():
     assert fused(cand, h, 5).sum() == 0
 
 
+def test_rzcc_encode_fully_fused_matches_xla():
+    """The in-kernel extrema + suppression (rzcc_encode_bipolar_tm) equals the
+    XLA composition local_extrema_mask_bounded → select_by_distance exactly,
+    including plateaus and both polarities."""
+    from haghighatshoarmuir2024_tpu.ops.peaks import local_extrema_mask_bounded
+    from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (
+        rzcc_encode_bipolar_tm,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial, (rows, T) in enumerate([(6, 500), (3, 257), (9, 2050)]):
+        cs = np.cumsum(rng.standard_normal((rows, T)).astype(np.float32), axis=-1)
+        if trial == 1:
+            # inject exact plateaus (runs of equal values) to exercise the
+            # bounded plateau-midpoint logic
+            cs[:, 40:44] = cs[:, 40:41]
+            cs[:, 100:103] = cs[:, 100:101]
+        for d, W in ((3, 6), (7, 14), (12, 24)):
+            maxima, minima = local_extrema_mask_bounded(jnp.asarray(cs), W)
+            kp, kn = rzcc_encode_bipolar_tm(jnp.asarray(cs.T), d, W, interpret=True)
+            np.testing.assert_array_equal(
+                np.asarray(kp).T, xla_ref(np.asarray(maxima), cs, d)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(kn).T, xla_ref(np.asarray(minima), -cs, d)
+            )
+
+
 def test_rzcc_bipolar_fused_matches_xla():
     from haghighatshoarmuir2024_tpu.ops.peaks import local_extrema_mask_bounded
     from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (
