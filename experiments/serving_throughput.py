@@ -1,0 +1,122 @@
+"""Streaming serving benchmark: sustained multi-stream throughput and
+single-stream chunk latency of the carried-state runtime.
+
+The reference has no serving runtime at all — its live demo processes one
+0.25 s sox capture at a time through XyloSim slower than real time
+(micloc/xylo_snn_localization.py:446-542, SURVEY §6.4).  This harness
+measures the TPU runtime's production configuration: B concurrent audio
+streams advanced by one jitted carried-state step per chunk
+(runtime/streaming.StreamingLocalizer).
+
+Reported metrics:
+  * serving-audio-sec/sec — sustained batched throughput (pipelined
+    dispatch, blocked at the end; the per-step wall time is what a serving
+    loop would see at steady state)
+  * latency-ms-blocking — single-stream per-chunk latency as observed by a
+    blocking host loop (includes the host↔device round-trip, which on this
+    tunneled setup is ~24 ms — reported separately because it is transport,
+    not compute)
+  * latency-ms-pipelined — per-chunk device time of the same single-stream
+    step (dispatch n steps, block once), the on-device latency floor
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from common import FS, sinusoid_template  # noqa: E402  (sys.path set in common)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main(
+    batch: int = 64,
+    chunk_sec: float = 0.25,
+    n_steps: int = 20,
+    freq_band=(1600, 1900),
+    num_grid: int = 64 * 7 + 1,
+):
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.models.xylo import Demo
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+    from haghighatshoarmuir2024_tpu.runtime import StreamingLocalizer
+
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    demo = Demo(
+        geometry=geometry,
+        freq_bands=[list(freq_band)],
+        doa_list=np.linspace(-np.pi, np.pi, num_grid),
+        recording_duration=chunk_sec,
+        kernel_duration=10e-3,
+        bipolar_spikes=True,
+        fs=FS,
+    )
+    demo.calibrate_profiles()  # bias-free matched estimator for the gate
+    sl = StreamingLocalizer(demo)
+
+    # B streams, each a tone from a different direction + noise
+    t, sig = sinusoid_template(float(np.mean(freq_band)), chunk_sec)
+    rng = np.random.default_rng(0)
+    doas = np.linspace(-np.pi, np.pi, batch, endpoint=False)
+    chunks = np.stack(
+        [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS)) for d in doas]
+    ).astype(np.float32)
+    chunks = chunks + 0.1 * rng.standard_normal(chunks.shape).astype(np.float32)
+    chunks_j = jnp.asarray(chunks)
+
+    # ---- batched serving throughput (pipelined: the steady-state rate)
+    state = sl.init_state(batch=batch)
+    state = sl.process_chunk(state, chunks_j, return_spikes=False)  # compile
+    jax.tree.leaves(state)[0].block_until_ready()
+
+    state = sl.init_state(batch=batch)
+    t0 = time.time()
+    for _ in range(n_steps):
+        state = sl.process_chunk(state, chunks_j, return_spikes=False)
+    jax.tree.leaves(state)[0].block_until_ready()
+    step_ms = (time.time() - t0) / n_steps * 1000
+    serving = batch * chunk_sec / (step_ms / 1000)
+
+    # sanity: the carried counts must localize every stream (matched = the
+    # bias-free estimator the flagship ships; peak = reference-parity argmax)
+    ests = np.asarray(sl.estimate_doa(state, method="matched"))
+    err = np.abs(np.arcsin(np.abs(np.sin(ests - doas))))
+    ok = float(np.mean(np.rad2deg(err) < 5.0))
+
+    # ---- single-stream latency
+    state1 = sl.init_state()
+    state1, _ = sl.process_chunk(state1, chunks_j[0])  # compile
+    jax.tree.leaves(state1)[0].block_until_ready()
+
+    lat_block = []
+    state1 = sl.init_state()
+    for _ in range(10):
+        t0 = time.time()
+        state1, _ = sl.process_chunk(state1, chunks_j[0])
+        jax.tree.leaves(state1)[0].block_until_ready()
+        lat_block.append((time.time() - t0) * 1000)
+
+    state1 = sl.init_state()
+    t0 = time.time()
+    for _ in range(10):
+        state1, _ = sl.process_chunk(state1, chunks_j[0])
+    jax.tree.leaves(state1)[0].block_until_ready()
+    lat_pipe = (time.time() - t0) / 10 * 1000
+
+    metrics = {
+        "serving-audio-sec/sec": round(serving, 1),
+        "serving-step-ms": round(step_ms, 2),
+        "streams": batch,
+        "doa-ok-frac@5deg": ok,
+        "latency-ms-blocking": round(float(np.median(lat_block)), 1),
+        "latency-ms-pipelined": round(lat_pipe, 1),
+    }
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -433,6 +433,186 @@ def lif_count_rates_bipolar(config, kp_tbc, kn_tbc, time_chunk: int = 32,
     )
 
 
+# ----------------------------------------------- stateful bipolar variant
+def _lif_kernel_bipolar_stateful(
+    kp_ref, kn_ref, wp_ref, wn_ref,
+    dash_syn_ref, dash_mem_ref, thr_ref,
+    isyn0_ref, vmem0_ref, spk0_ref,
+    counts_ref, isyn_out_ref, vmem_out_ref, spk_out_ref,
+    isyn_ref, vmem_ref, spk_ref, cnt_ref, inp_ref,
+    *, TC: int, B: int, T_actual: int, rec_coef: int, has_tail: bool, no_sat: bool,
+):
+    """Streaming form of :func:`_lif_kernel_bipolar`: initial state in, final
+    state out — the serving runtime's per-chunk LIF with the polarity
+    combination and int8 MXU projection fused in."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        isyn_ref[:] = isyn0_ref[:]
+        vmem_ref[:] = vmem0_ref[:]
+        spk_ref[:] = spk0_ref[:]
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    C = kp_ref.shape[2]
+    kp2 = kp_ref[:].reshape(TC * B, C)
+    kn2 = kn_ref[:].reshape(TC * B, C)
+    if wp_ref.dtype == jnp.int8:
+        pos = (kp2.astype(jnp.int32) * (1 - kn2.astype(jnp.int32))).astype(jnp.int8)
+        inp_ref[:] = jnp.dot(pos, wp_ref[:], preferred_element_type=jnp.int32) + \
+            jnp.dot(kn2, wn_ref[:], preferred_element_type=jnp.int32)
+    else:
+        kpf = kp2.astype(jnp.float32)
+        knf = kn2.astype(jnp.float32)
+        pos = kpf * (1.0 - knf)
+        inp_ref[:] = (
+            jnp.dot(pos, wp_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(knf, wn_ref[:], preferred_element_type=jnp.float32)
+        ).astype(jnp.int32)
+
+    dash_syn = dash_syn_ref[:]
+    dash_mem = dash_mem_ref[:]
+    threshold = thr_ref[:]
+
+    def step(s, _):
+        isyn = isyn_ref[:]
+        vmem = vmem_ref[:]
+        spk = spk_ref[:]
+        cur = inp_ref[pl.ds(s * B, B), :]
+        if rec_coef != 0:
+            cur = cur + rec_coef * jnp.sum(spk, axis=1, keepdims=True)
+        isyn = isyn - jax.lax.shift_right_arithmetic(isyn, dash_syn) + cur
+        if not no_sat:
+            isyn = jnp.clip(isyn, _STATE_MIN, _STATE_MAX)
+        vmem = vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn
+        if not no_sat:
+            vmem = jnp.clip(vmem, _STATE_MIN, _STATE_MAX)
+        spk_new = (vmem >= threshold).astype(jnp.int32)
+        vmem = vmem - spk_new * threshold
+        if has_tail:
+            valid = (t * TC + s) < T_actual
+            spk_new = jnp.where(valid, spk_new, 0)
+            isyn_ref[:] = jnp.where(valid, isyn, isyn_ref[:])
+            vmem_ref[:] = jnp.where(valid, vmem, vmem_ref[:])
+            spk_ref[:] = jnp.where(valid, spk_new, spk_ref[:])
+        else:
+            isyn_ref[:] = isyn
+            vmem_ref[:] = vmem
+            spk_ref[:] = spk_new
+        cnt_ref[:] = cnt_ref[:] + spk_new
+        return 0
+
+    jax.lax.fori_loop(0, TC, step, 0, unroll=TC)
+
+    @pl.when(t == nt - 1)
+    def _():
+        counts_ref[:] = cnt_ref[:]
+        isyn_out_ref[:] = isyn_ref[:]
+        vmem_out_ref[:] = vmem_ref[:]
+        spk_out_ref[:] = spk_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rec_coef", "time_chunk", "interpret", "int8_mm", "no_sat"),
+)
+def _lif_count_bipolar_stateful_impl(
+    kp_tbc, kn_tbc, w_in, dash_syn, dash_mem, threshold, isyn0, vmem0, spk0,
+    rec_coef, time_chunk, interpret: bool = False, int8_mm: bool = True,
+    no_sat: bool = False,
+):
+    T, B, C = kp_tbc.shape
+    N = w_in.shape[1]
+    TC = time_chunk
+    T_pad = _round_up(T, TC)
+    N_pad = _round_up(N, 128)
+
+    dt = jnp.int8 if int8_mm else jnp.float32
+    kp_tbc = jnp.pad(kp_tbc.astype(jnp.int8), ((0, T_pad - T), (0, 0), (0, 0)))
+    kn_tbc = jnp.pad(kn_tbc.astype(jnp.int8), ((0, T_pad - T), (0, 0), (0, 0)))
+    wp = jnp.pad(w_in[:C].astype(dt), ((0, 0), (0, N_pad - N)))
+    wn = jnp.pad(w_in[C:].astype(dt), ((0, 0), (0, N_pad - N)))
+    dash_syn_p = jnp.pad(dash_syn, (0, N_pad - N)).reshape(1, N_pad)
+    dash_mem_p = jnp.pad(dash_mem, (0, N_pad - N)).reshape(1, N_pad)
+    thr_p = jnp.pad(threshold, (0, N_pad - N), constant_values=_STATE_MAX).reshape(1, N_pad)
+    pad_state = lambda s: jnp.pad(s.astype(jnp.int32), ((0, 0), (0, N_pad - N)))
+
+    grid = (T_pad // TC,)
+    kernel = functools.partial(
+        _lif_kernel_bipolar_stateful, TC=TC, B=B, T_actual=T,
+        rec_coef=int(rec_coef), has_tail=(T_pad != T), no_sat=no_sat,
+    )
+    spike_spec = pl.BlockSpec((TC, B, C), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((C, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((B, N_pad), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    counts, isyn_f, vmem_f, spk_f = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spike_spec, spike_spec, w_spec, w_spec, vec_spec, vec_spec,
+                  vec_spec, state_spec, state_spec, state_spec],
+        out_specs=(state_spec, state_spec, state_spec, state_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, N_pad), jnp.int32) for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((B, N_pad), jnp.int32),
+            pltpu.VMEM((TC * B, N_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(kp_tbc, kn_tbc, wp, wn, dash_syn_p, dash_mem_p, thr_p,
+      pad_state(isyn0), pad_state(vmem0), pad_state(spk0))
+    return counts[:, :N], isyn_f[:, :N], vmem_f[:, :N], spk_f[:, :N]
+
+
+def lif_count_stateful_bipolar(config, kp_tbc, kn_tbc, isyn0, vmem0, spk0,
+                               time_chunk: int = 32, spike_bound: int | None = 1):
+    """Stateful bipolar LIF: time-major (T, B, C) polarity masks + (B, N)
+    initial state → (counts, final isyn/vmem/spk) — the serving runtime's
+    form of :func:`lif_count_rates_bipolar` (state carries across chunks)."""
+    wr = np.asarray(config.w_rec)
+    if wr.size and not np.all(wr == wr.flat[0]):
+        raise ValueError("lif_count_stateful_bipolar requires uniform w_rec")
+    rec_coef = int(wr.flat[0]) if wr.size else 0
+
+    kp_tbc = jnp.asarray(kp_tbc)
+    kn_tbc = jnp.asarray(kn_tbc)
+    if jax.default_backend() != "tpu":
+        pos = ((kp_tbc != 0) & ~(kn_tbc != 0)).astype(jnp.int8)
+        neg = (kn_tbc != 0).astype(jnp.int8)
+        enc = jnp.concatenate([pos, neg], axis=-1)
+        return lif_count_stateful(
+            config, enc, isyn0, vmem0, spk0, time_chunk=time_chunk,
+            spike_bound=spike_bound, time_major=True,
+        )
+
+    w_np = np.asarray(config.w_in)
+    int8_mm = bool(np.all(np.abs(w_np) <= 127))
+    no_sat = (
+        _no_saturation_possible(config, spike_bound, rec_coef)
+        if spike_bound is not None
+        else False
+    )
+    return _lif_count_bipolar_stateful_impl(
+        kp_tbc.astype(jnp.int8),
+        kn_tbc.astype(jnp.int8),
+        jnp.asarray(config.w_in, jnp.int32),
+        jnp.asarray(config.dash_syn, jnp.int32),
+        jnp.asarray(config.dash_mem, jnp.int32),
+        jnp.asarray(config.threshold, jnp.int32),
+        jnp.asarray(isyn0, jnp.int32),
+        jnp.asarray(vmem0, jnp.int32),
+        jnp.asarray(spk0, jnp.int32),
+        rec_coef=rec_coef,
+        time_chunk=time_chunk,
+        int8_mm=int8_mm,
+        no_sat=no_sat,
+    )
+
+
 # ----------------------------------------------------------- stateful variant
 def _lif_kernel_stateful(
     spikes_ref, w_ref, dash_syn_ref, dash_mem_ref, thr_ref,

@@ -290,7 +290,7 @@ def _round_kernel_bipolar(
 def _round_kernel_bipolar_first(
     hp_ref, hc_ref, hn_ref,  # integrated signal cs: prev/cur/next (TB, R) f32
     pos_out_ref, neg_out_ref, kp_out_ref, kn_out_ref, flag_out_ref,
-    *, w: int, W: int, T: int, M: int, rounds: int,
+    *, w: int, W: int, T: int, M: int,
 ):
     """Fused RZCC round 1: bounded-plateau extrema of ±cs computed IN-REGISTER
     from the signal halos, then one suppression round for both polarities —
@@ -378,9 +378,8 @@ def _round_kernel_bipolar_first(
     maxima = last_rise & next_fall & mid_ok
     minima = has_last & (~last_rise) & has_next & (~next_fall) & mid_ok
 
-    # --- ``rounds`` suppression rounds per polarity, candidates in-register
-    # (the margin covers the full chain, so k fused rounds are exactly k
-    # launched rounds; audio resolves in 2, making the fallback loop a no-op)
+    # --- suppression rounds, candidates in-register (the margin covers the
+    # 2-round chain, so the fused rounds are exactly the launched rounds)
     def leading_any(v, L):
         z = shift_up(v, 1, jnp.float32(0.0))
         k = 1
@@ -390,33 +389,47 @@ def _round_kernel_bipolar_first(
             k += step
         return z
 
-    def one_polarity(signed_h, cand):
-        act = cand.astype(jnp.float32)
-        kept = jnp.zeros_like(act)
-        for _ in range(rounds):
-            h = signed_h * act + NEG * (1.0 - act)
-            wmax = window_max(h, NEG)
-            top = (h == wmax) & (act > 0.5)
-            top_f = top.astype(jnp.float32)
-            winner = top & (leading_any(top_f, w) < 0.5)
-            win_f = winner.astype(jnp.float32)
-            in_win_f = window_max(win_f, jnp.float32(0.0))
-            act = act * (1.0 - in_win_f)
-            kept = jnp.maximum(kept, win_f)
-        act_c = act[M : M + TB]
-        return act_c.astype(jnp.int8), kept[M : M + TB].astype(jnp.int8), act_c
+    def one_round(signed_h, act, kept):
+        h = signed_h * act + NEG * (1.0 - act)
+        wmax = window_max(h, NEG)
+        top = (h == wmax) & (act > 0.5)
+        top_f = top.astype(jnp.float32)
+        winner = top & (leading_any(top_f, w) < 0.5)
+        win_f = winner.astype(jnp.float32)
+        in_win_f = window_max(win_f, jnp.float32(0.0))
+        return act * (1.0 - in_win_f), jnp.maximum(kept, win_f)
 
-    pos_act, pos_kept, pa_f = one_polarity(h3, maxima)
-    neg_act, neg_kept, na_f = one_polarity(-h3, minima)
-    pos_out_ref[:] = pos_act
-    neg_out_ref[:] = neg_act
-    kp_out_ref[:] = pos_kept
-    kn_out_ref[:] = neg_kept
-    # per-block remaining-candidates flag: the fixed-point cond reads this
-    # (nt, nr) int32 array instead of re-scanning the full masks from HBM
-    flag_out_ref[t, pl.program_id(1)] = (
-        jnp.max(pa_f.astype(jnp.int32)) + jnp.max(na_f.astype(jnp.int32))
-    )
+    z0 = jnp.zeros((TBe, R), jnp.float32)
+    ap1, kp1 = one_round(h3, maxima.astype(jnp.float32), z0)
+    an1, kn1 = one_round(-h3, minima.astype(jnp.float32), z0)
+
+    # ids hoisted out of the pl.when branch: program_id has no lowering
+    # inside cond branches in interpret mode
+    ri = pl.program_id(1)
+
+    def write_out(ap, an, kp, kn):
+        pos_out_ref[:] = ap[M : M + TB].astype(jnp.int8)
+        neg_out_ref[:] = an[M : M + TB].astype(jnp.int8)
+        kp_out_ref[:] = kp[M : M + TB].astype(jnp.int8)
+        kn_out_ref[:] = kn[M : M + TB].astype(jnp.int8)
+        # per-block remaining-candidates flag: the fixed-point cond reads
+        # this (nt, nr) int32 array instead of re-scanning masks from HBM
+        flag_out_ref[t, ri] = (
+            jnp.max(ap[M : M + TB]) + jnp.max(an[M : M + TB])
+        ).astype(jnp.int32)
+
+    # round 2 runs ONLY in blocks where round 1 left candidates anywhere in
+    # the extended window (candidates beyond it cannot reach this center);
+    # oscillatory audio resolves round 1 almost everywhere, so most blocks
+    # skip ~40% of the kernel's VPU work
+    rem1 = jnp.max(ap1) + jnp.max(an1)
+    write_out(ap1, an1, kp1, kn1)
+
+    @pl.when(rem1 > 0.0)
+    def _():
+        ap2, kp2 = one_round(h3, ap1, kp1)
+        an2, kn2 = one_round(-h3, an1, kn1)
+        write_out(ap2, an2, kp2, kn2)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "W", "interpret"))
@@ -439,9 +452,7 @@ def _rzcc_bipolar_fused_impl(cs_tm, w: int, W: int, interpret: bool = False):
     MB1 = _halo_block(_margin(w, W, rounds=ROUNDS))
     prev1, cur, nxt1 = _halo_specs(MB1, Tp)
     first_call = pl.pallas_call(
-        functools.partial(
-            _round_kernel_bipolar_first, w=w, W=W, T=T, M=MB1, rounds=ROUNDS,
-        ),
+        functools.partial(_round_kernel_bipolar_first, w=w, W=W, T=T, M=MB1),
         grid=(nt, nr),
         in_specs=[prev1, cur, nxt1],
         out_specs=(cur, cur, cur, cur, flag),

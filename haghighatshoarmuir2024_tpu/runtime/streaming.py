@@ -232,30 +232,31 @@ class StreamingLocalizer:
                 return jnp.concatenate([pos.T, neg.T], axis=1)  # (Tc, 2C)
             return decided.T.astype(jnp.int32)
 
-        def decide_batch(analysis_b, Tc):
-            """Batch-native seam decisions, time-major (L, B, C) →
-            (Tc, B, 2C or C) via the fully fused RZCC Pallas kernel (in-kernel
-            extrema + suppression; same semantics as ``decide``)."""
-            from ..ops.peaks import local_extrema_mask_bounded
-            from ..ops.pallas.suppress_kernel import (
-                rzcc_encode_bipolar_tm,
-                select_by_distance_tm,
-            )
+        def decide_batch_bipolar(analysis_b, Tc):
+            """Batch-native bipolar seam decisions, time-major (L, B, C) →
+            the two (Tc, B, C) polarity masks via the fully fused RZCC Pallas
+            kernel (in-kernel extrema + suppression) — fed straight into the
+            stateful bipolar LIF kernel, no combined raster materialized."""
+            from ..ops.pallas.suppress_kernel import rzcc_encode_bipolar_tm
 
             L, B, C = analysis_b.shape
-            cs_tm = analysis_b.reshape(L, B * C)
-            if bipolar:
-                kp, kn = rzcc_encode_bipolar_tm(cs_tm, rw, 2 * rw)
-                kp = kp[guard : guard + Tc].reshape(Tc, B, C)
-                kn = kn[guard : guard + Tc].reshape(Tc, B, C)
-                pos = (kp & ~kn).astype(jnp.int8)
-                neg = kn.astype(jnp.int8)
-                return jnp.concatenate([pos, neg], axis=-1)  # (Tc, B, 2C)
+            kp, kn = rzcc_encode_bipolar_tm(analysis_b.reshape(L, B * C), rw, 2 * rw)
+            kp = kp[guard : guard + Tc].reshape(Tc, B, C)
+            kn = kn[guard : guard + Tc].reshape(Tc, B, C)
+            return kp, kn
+
+        def decide_batch_unipolar(analysis_b, Tc):
+            from ..ops.peaks import local_extrema_mask_bounded
+            from ..ops.pallas.suppress_kernel import select_by_distance_tm
+
+            L, B, C = analysis_b.shape
             maxima, _ = local_extrema_mask_bounded(
                 jnp.moveaxis(analysis_b, 0, -1), 2 * rw
             )
             masks = select_by_distance_tm(
-                jnp.moveaxis(maxima, -1, 0).reshape(L, B * C), cs_tm, rw
+                jnp.moveaxis(maxima, -1, 0).reshape(L, B * C),
+                analysis_b.reshape(L, B * C),
+                rw,
             )
             return masks[guard : guard + Tc].reshape(Tc, B, C).astype(jnp.int8)
 
@@ -276,39 +277,60 @@ class StreamingLocalizer:
                 spikes,
             )
 
-        @jax.jit
-        def step_batched(state: StreamState, chunks):
+        def _step_batched_body(state: StreamState, chunks, want_spikes: bool):
             """Serving path: vmapped encode + the stateful Pallas LIF kernel
             over the whole stream batch (identical integers to the scan)."""
-            from ..ops.pallas.lif_kernel import lif_count_stateful
+            from ..ops.pallas.lif_kernel import (
+                lif_count_stateful,
+                lif_count_stateful_bipolar,
+            )
 
             # analysis comes out time-major (L, B, C): the encode is naturally
             # (T, ...)-major, so out_axes=1 costs nothing and the fused RZCC +
             # LIF kernels consume their native layout with zero transposes
             enc_state, analysis_b = jax.vmap(encode, out_axes=(0, 1))(state, chunks)
-            if on_tpu:
-                spikes = decide_batch(analysis_b, chunks.shape[1])  # (Tc, B, C')
-            else:
-                spikes = jnp.transpose(
-                    jax.vmap(lambda a: decide(a, chunks.shape[1]))(
-                        jnp.transpose(analysis_b, (1, 0, 2))
-                    ),
-                    (1, 0, 2),
-                )
+            Tc = chunks.shape[1]
             # spike_bound=1: binary RZCC masks from stream start (state zeros),
             # so the no-saturation invariant carries across chunks
-            counts_new, isyn, vmem, spk = lif_count_stateful(
-                cfg, spikes, state.isyn, state.vmem, state.spk,
-                spike_bound=1, time_major=True,
+            if on_tpu and bipolar:
+                kp, kn = decide_batch_bipolar(analysis_b, Tc)
+                counts_new, isyn, vmem, spk = lif_count_stateful_bipolar(
+                    cfg, kp, kn, state.isyn, state.vmem, state.spk, spike_bound=1
+                )
+                spikes = None
+                if want_spikes:
+                    pos = (kp & ~kn).astype(jnp.int8)
+                    neg = kn.astype(jnp.int8)
+                    spikes = jnp.concatenate([pos, neg], axis=-1)  # (Tc, B, 2C)
+            else:
+                if on_tpu:
+                    spikes = decide_batch_unipolar(analysis_b, Tc)
+                else:
+                    spikes = jnp.transpose(
+                        jax.vmap(lambda a: decide(a, Tc))(
+                            jnp.transpose(analysis_b, (1, 0, 2))
+                        ),
+                        (1, 0, 2),
+                    )
+                counts_new, isyn, vmem, spk = lif_count_stateful(
+                    cfg, spikes, state.isyn, state.vmem, state.spk,
+                    spike_bound=1, time_major=True,
+                )
+            new_state = enc_state._replace(
+                isyn=isyn, vmem=vmem, spk=spk, counts=state.counts + counts_new
             )
-            return (
-                enc_state._replace(
-                    isyn=isyn, vmem=vmem, spk=spk, counts=state.counts + counts_new
-                ),
-                spikes,
-            )
+            if want_spikes:
+                return new_state, spikes
+            return new_state
 
-        return step, step_batched
+        step_batched = jax.jit(
+            functools.partial(_step_batched_body, want_spikes=True)
+        )
+        step_batched_nospikes = jax.jit(
+            functools.partial(_step_batched_body, want_spikes=False)
+        )
+
+        return step, step_batched, step_batched_nospikes
 
     @property
     def _step_jit(self):
@@ -318,7 +340,11 @@ class StreamingLocalizer:
     def _step_jit_batched(self):
         return self._make_steps[1]
 
-    def process_chunk(self, state: StreamState, chunk):
+    @property
+    def _step_jit_batched_nospikes(self):
+        return self._make_steps[2]
+
+    def process_chunk(self, state: StreamState, chunk, return_spikes: bool = True):
         """One chunk in, (new_state, decided input-spike raster) out.
 
         ``chunk`` may be (Tc, M) for a single stream or (B, Tc, M) matched to
@@ -326,9 +352,16 @@ class StreamingLocalizer:
         streams in one device launch.  Single-stream spikes come back
         (Tc, C'); batched spikes come back TIME-MAJOR (Tc, B, C') — the fused
         RZCC and LIF kernels' native layout, kept transpose-free end-to-end.
+
+        ``return_spikes=False`` (batched only) skips materializing the spike
+        raster — the serving loop needs only the carried counts, and on TPU
+        the bipolar masks flow kernel-to-kernel without ever being combined.
+        Returns just the new state in that case.
         """
         chunk = jnp.asarray(chunk, jnp.float32)
         if chunk.ndim == 3:
+            if not return_spikes:
+                return self._step_jit_batched_nospikes(state, chunk)
             return self._step_jit_batched(state, chunk)
         return self._step_jit(state, chunk)
 

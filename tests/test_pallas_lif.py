@@ -245,6 +245,50 @@ def test_lif_stateful_interpret_chunked_equals_full():
     np.testing.assert_array_equal(state[2], np.asarray(spk_ref))
 
 
+def test_lif_stateful_bipolar_chunked_equals_combined():
+    """Carried-state bipolar kernel calls == the plain stateful kernel on the
+    combined (pos, neg) raster, chunk by chunk."""
+    from haghighatshoarmuir2024_tpu.ops.pallas.lif_kernel import (
+        _lif_count_bipolar_stateful_impl,
+    )
+
+    rng = np.random.default_rng(29)
+    C, N, B = 5, 16, 2
+    config = make_config(29, C=2 * C, N=N, rec_coef=-2, w_scale=25)
+    wr = -2
+
+    state_a = tuple(np.zeros((B, N), np.int32) for _ in range(3))
+    state_b = tuple(np.zeros((B, N), np.int32) for _ in range(3))
+    tot_a = np.zeros((B, N), np.int64)
+    tot_b = np.zeros((B, N), np.int64)
+    for part in range(3):
+        T = (30, 17, 24)[part]  # ragged chunks
+        kp = (rng.random((T, B, C)) < 0.25).astype(np.int8)
+        kn = (rng.random((T, B, C)) < 0.25).astype(np.int8)
+        out = _lif_count_bipolar_stateful_impl(
+            jnp.asarray(kp), jnp.asarray(kn),
+            jnp.asarray(config.w_in, jnp.int32),
+            jnp.asarray(config.dash_syn, jnp.int32),
+            jnp.asarray(config.dash_mem, jnp.int32),
+            jnp.asarray(config.threshold, jnp.int32),
+            jnp.asarray(state_a[0]), jnp.asarray(state_a[1]), jnp.asarray(state_a[2]),
+            rec_coef=wr, time_chunk=8, interpret=True,
+        )
+        tot_a += np.asarray(out[0])
+        state_a = tuple(np.asarray(s) for s in out[1:])
+
+        pos = (kp & (1 - kn)).astype(np.int32)
+        enc = np.concatenate([pos, kn.astype(np.int32)], axis=-1)  # (T, B, 2C)
+        counts_b, st = stateful_call(
+            config, enc.transpose(1, 0, 2), state_b
+        )
+        tot_b += counts_b
+        state_b = st
+    np.testing.assert_array_equal(tot_a, tot_b)
+    for a, b in zip(state_a, state_b):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_lif_count_rates_rejects_dense_w_rec():
     config = make_config(31)
     config.w_rec = np.arange(config.n_hidden**2, dtype=np.int32).reshape(
