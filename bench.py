@@ -95,6 +95,16 @@ def main():
         doa, rate = fn(frames_j)
     doa.block_until_ready()
     elapsed = (time.time() - t1) / n_rep
+    if elapsed < 1e-3:
+        # tunnel glitch guard: a pipelined block_until_ready has been seen
+        # returning early through the axon proxy, reporting ~0 ms/batch.
+        # Re-measure with a per-call barrier (upper bound: adds one host
+        # round-trip per call, so the reported number stays conservative).
+        t1 = time.time()
+        for _ in range(n_rep):
+            doa, rate = fn(frames_j)
+            doa.block_until_ready()
+        elapsed = (time.time() - t1) / n_rep
 
     audio_sec = batch_size * frame
     throughput = audio_sec / elapsed

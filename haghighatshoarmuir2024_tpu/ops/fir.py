@@ -28,14 +28,17 @@ def _next_pow2(n: int) -> int:
     return 1 << (int(n) - 1).bit_length()
 
 
-def fir_filter(b, x, axis: int = 0, method: str = "auto"):
+def fir_filter(b, x, axis: int = 0, method: str = "auto", precision=None):
     """Causal FIR filter along ``axis`` with zero initial state.
 
     Args:
         b: (K,) filter taps.
         x: real or complex input array.
         axis: time axis.
-        method: "auto" | "fft" | "direct".
+        method: "auto" | "fft" | "direct" | "blockmm".
+        precision: matmul precision for the blockmm path (default HIGHEST,
+            the float32-exact bf16x6 passes; HIGH halves the MXU work at
+            ~1e-7 relative error — callers gate on their accuracy metric).
 
     Returns:
         Array with the same shape and dtype-kind as ``x``.
@@ -50,7 +53,7 @@ def fir_filter(b, x, axis: int = 0, method: str = "auto"):
     if method == "blockmm":
         if jnp.iscomplexobj(x) or jnp.iscomplexobj(b):
             raise ValueError("blockmm FIR supports real signals/taps only")
-        return _fir_block_matmul(b, x, axis=axis)
+        return _fir_block_matmul(b, x, axis=axis, precision=precision)
 
     if jnp.iscomplexobj(x) and not jnp.iscomplexobj(b):
         # filter real/imag parts independently (linearity)
@@ -92,7 +95,7 @@ def fir_filter(b, x, axis: int = 0, method: str = "auto"):
     return jnp.moveaxis(y, -1, axis)
 
 
-def _fir_block_matmul(b, x, axis: int = 0, block: int = 128):
+def _fir_block_matmul(b, x, axis: int = 0, block: int = 128, precision=None):
     """Causal FIR as blocked-Toeplitz matmuls on the MXU.
 
     Time is tiled into ``block``-sample blocks; the kernel becomes
@@ -125,14 +128,14 @@ def _fir_block_matmul(b, x, axis: int = 0, block: int = 128):
 
     # pad once with nk-1 leading zero blocks; per-offset operands are slices
     # (fused into the matmul reads, no shifted copies)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     xp = jnp.pad(xt, [(0, 0)] * (xt.ndim - 1) + [((nk - 1) * Lb, Tp - T)])
     Xb = xp.reshape(xt.shape[:-1] + (nb + nk - 1, Lb))
     y = None
     for k, A in enumerate(mats):
         Xs = Xb[..., nk - 1 - k : nk - 1 - k + nb, :]
-        term = jnp.einsum(
-            "...nc,rc->...nr", Xs, A, precision=jax.lax.Precision.HIGHEST
-        )
+        term = jnp.einsum("...nc,rc->...nr", Xs, A, precision=precision)
         y = term if y is None else y + term
     y = y.reshape(xt.shape[:-1] + (Tp,))[..., :T].astype(x.dtype)
     return jnp.moveaxis(y, -1, axis)

@@ -72,6 +72,104 @@ def _cached_powers(key, log2T: int):
     return np.stack(pows)  # (log2T, N, N)
 
 
+def _modal_transform(A: np.ndarray):
+    """Real modal basis of ``A`` (host, float64): columns are [Re v, Im v]
+    per conjugate eigenpair (plus real eigenvectors), normalized.  In this
+    basis A becomes block-diagonal 2×2 rotations-with-decay, so
+    ``‖A_modal^k‖ ≈ radius^k`` — the companion form's huge non-normal
+    transients (‖A^k‖ ~ 500 for a bandpass TDF2) disappear, which is what
+    makes explicitly-powered lifted matrices float-safe.
+
+    Returns (T, Tinv) or None when the eigenbasis is ill-conditioned
+    (clustered poles) and the transform would hurt instead.
+    """
+    N = A.shape[0]
+    eigvals, eigvecs = np.linalg.eig(A)
+    used = np.zeros(N, bool)
+    cols = []
+    for i in range(N):
+        if used[i]:
+            continue
+        lam, v = eigvals[i], eigvecs[:, i]
+        if abs(lam.imag) <= 1e-12 * max(1.0, abs(lam.real)):
+            used[i] = True
+            re = v.real
+            cols.append(re / np.linalg.norm(re))
+        else:
+            js = [
+                j
+                for j in range(i + 1, N)
+                if not used[j] and abs(eigvals[j] - np.conj(lam)) < 1e-8 * abs(lam)
+            ]
+            if not js:
+                return None
+            used[i] = used[js[0]] = True
+            re, im = v.real, v.imag
+            sc = max(np.linalg.norm(re), np.linalg.norm(im))
+            cols.extend([re / sc, im / sc])
+    T = np.stack(cols, axis=1)
+    if np.linalg.cond(T) > 1e8:
+        return None
+    return T, np.linalg.inv(T)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_level2_matrices(b_key, a_key, SB: int, Q: int):
+    """Second lifting level over ``Q`` SB-sample blocks (host, float64).
+
+    The level-1 inter-block recurrence ``s_{k+1} = A^SB s_k + sP_k`` with the
+    exactly-carried integrator offset ``c_{k+1} = c_k + h1·s_k + cP_k``
+    (see :func:`_iir_cumsum_blocked`) is itself linear, so Q of its steps
+    collapse into matmuls:
+
+        s_prev(all q)  = Ws @ vec(sP) + Ps @ s_in
+        c_prev(all q)  = c_in + cumE + Hc @ s_in
+        s_out          = A^(SB·Q) s_in + Bm2 @ vec(sP)
+        c_out          = c_in + Σ_q e_q + sum_h · s_in
+
+    Everything is expressed in the MODAL basis of A (s' = T⁻¹ s): the
+    companion form's non-normal transients (‖A^k‖ ≫ 1) would otherwise
+    amplify float error ~1e3× through the explicitly-powered maps; in the
+    modal basis every power is norm-bounded by the pole radius.  The
+    integrator's marginal eigenvalue stays OUT of every lifted matrix, and
+    the offset remains an exactly-carried float sum — the same associativity
+    as blocked cumsum.  The caller converts the carried state at the seam
+    (``s' = T⁻¹ s`` in, ``s = T s'`` out); returns None when no
+    well-conditioned modal basis exists (fall back to the level-1 scan).
+    """
+    G_np, H_np, Bm_np, ASB = _cached_block_matrices(b_key, a_key, SB)
+    A_np, _, _ = _tdf2_matrices(np.asarray(b_key), np.asarray(a_key))
+    tr = _modal_transform(A_np)
+    if tr is None:
+        return None
+    T, Tinv = tr
+    N = ASB.shape[0]
+    ASBm = Tinv @ ASB @ T
+    Bm_m = Tinv @ Bm_np  # (N, SB): input → modal state increment
+    LT = np.tril(np.ones((SB, SB)))
+    H2m = (LT @ H_np) @ T  # (SB, N): modal state → in-block integrated output
+    h1m = H_np.sum(axis=0) @ T
+
+    Apow = [np.eye(N)]
+    for _ in range(Q):
+        Apow.append(ASBm @ Apow[-1])
+
+    Ws = np.zeros((Q * N, Q * N))
+    Ps = np.zeros((Q * N, N))
+    Bm2 = np.zeros((N, Q * N))
+    hvec = np.zeros((Q, N))
+    for q in range(Q):
+        Ps[q * N : (q + 1) * N] = Apow[q]
+        hvec[q] = h1m @ Apow[q]
+        Bm2[:, q * N : (q + 1) * N] = Apow[Q - 1 - q]
+        for j in range(q):
+            Ws[q * N : (q + 1) * N, j * N : (j + 1) * N] = Apow[q - 1 - j]
+    LTex = np.tril(np.ones((Q, Q)), k=-1)
+    Hc = LTex @ hvec
+    sum_h = hvec.sum(axis=0)
+    return Ws, Ps, Bm2, h1m, Hc, sum_h, LTex, Apow[Q], T, Tinv, Bm_m, H2m
+
+
 @functools.lru_cache(maxsize=64)
 def _cached_block_matrices(b_key, a_key, SB: int):
     """Lifted SB-sample block form of the recurrence (host, float64):
@@ -300,7 +398,6 @@ def _iir_cumsum_blocked(b, a, x, axis: int = 0, zi=None, return_state: bool = Fa
     h1 = jnp.asarray(h1_np, rdtype)
 
     zP = jnp.einsum("ji,bil->bjl", G2, xb)  # within-block prefix sums of y
-    sP = jnp.einsum("ni,bil->bnl", Bm, xb)
     cP = jnp.einsum("i,bil->bl", g1, xb)  # per-block sums of y
 
     if zi is None:
@@ -311,15 +408,74 @@ def _iir_cumsum_blocked(b, a, x, axis: int = 0, zi=None, return_state: bool = Fa
         s0 = zif[:, :N].T
         c0 = zif[:, N]
 
-    def blk(carry, inp):
-        s, c = carry
-        sP_b, cP_b = inp
-        c_next = c + cP_b + h1 @ s
-        s_next = ASB @ s + sP_b
-        return (s_next, c_next), (s, c)
+    # ---- second lifting level: collapse Q level-1 steps into matmuls.
+    # Q = largest divisor of nb keeping the (Q·N)² map small; Q == 1 (e.g.
+    # prime nb) or a filter without a well-conditioned modal basis falls
+    # back to the plain level-1 scan below.
+    Qmax = max(1, 512 // max(N, 1))
+    Q = max((q for q in range(1, min(nb, Qmax) + 1) if nb % q == 0), default=1)
+    lvl2 = (
+        _cached_level2_matrices(tuple(b64.tolist()), tuple(a64.tolist()), SB, Q)
+        if Q > 2
+        else None
+    )
+    if lvl2 is not None:
+        (Ws_np, Ps_np, Bm2_np, h1m_np, Hc_np, sumh_np, LTex_np, ASBQ_np,
+         T_np, Tinv_np, Bmm_np, H2m_np) = lvl2
+        nb2 = nb // Q
+        Ws = jnp.asarray(Ws_np, rdtype)
+        Ps = jnp.asarray(Ps_np, rdtype)
+        h1m = jnp.asarray(h1m_np, rdtype)
+        Hc = jnp.asarray(Hc_np, rdtype)
+        sum_h = jnp.asarray(sumh_np, rdtype)
+        LTex = jnp.asarray(LTex_np, rdtype)
+        ASBQ = jnp.asarray(ASBQ_np, rdtype)
+        Tm = jnp.asarray(T_np, rdtype)
+        Tinv = jnp.asarray(Tinv_np, rdtype)
+        Bm2 = jnp.asarray(Bm2_np, rdtype)
 
-    (s_fin, c_fin), (s_prev, c_prev) = jax.lax.scan(blk, (s0, c0), (sP, cP))
-    z = zP + jnp.einsum("jn,bnl->bjl", H2, s_prev) + c_prev[:, None, :]
+        # modal-basis input increments; the carried state converts at the seam
+        sP = jnp.einsum("ni,bil->bnl", jnp.asarray(Bmm_np, rdtype), xb)
+        s0 = Tinv @ s0
+        sP2 = sP.reshape(nb2, Q * N, L)
+        cP2 = cP.reshape(nb2, Q, L)
+        # input-driven parts of all Q inner states/offsets, batched on the MXU
+        U = jnp.einsum("ab,ibl->ial", Ws, sP2)  # (nb2, Q·N, L)
+        V = jnp.einsum("nb,ibl->inl", Bm2, sP2)  # (nb2, N, L)
+        e = cP2 + jnp.einsum("n,iqnl->iql", h1m, U.reshape(nb2, Q, N, L))
+        cumE = jnp.einsum("pq,iql->ipl", LTex, e)  # exclusive in-super prefix
+        sumE = e.sum(axis=1)  # (nb2, L)
+
+        # outer scan: nb2 sequential steps (vs nb for level 1)
+        def blk2(carry, inp):
+            s, c = carry
+            U_i, V_i, cumE_i, sumE_i = inp
+            s_prev_i = U_i + Ps @ s  # (Q·N, L): states entering each block
+            c_prev_i = c[None, :] + cumE_i + Hc @ s
+            s_next = ASBQ @ s + V_i
+            c_next = c + sumE_i + sum_h @ s
+            return (s_next, c_next), (s_prev_i, c_prev_i)
+
+        (s_fin, c_fin), (s_prev2, c_prev2) = jax.lax.scan(
+            blk2, (s0, c0), (U, V, cumE, sumE)
+        )
+        s_prev = s_prev2.reshape(nb, N, L)
+        c_prev = c_prev2.reshape(nb, L)
+        s_fin = Tm @ s_fin  # back to the TDF2 basis for the carried state
+        Hout = jnp.asarray(H2m_np, rdtype)
+    else:
+        sP = jnp.einsum("ni,bil->bnl", Bm, xb)
+
+        def blk(carry, inp):
+            s, c = carry
+            sP_b, cP_b = inp
+            c_next = c + cP_b + h1 @ s
+            s_next = ASB @ s + sP_b
+            return (s_next, c_next), (s, c)
+
+        (s_fin, c_fin), (s_prev, c_prev) = jax.lax.scan(blk, (s0, c0), (sP, cP))
+        Hout = H2
+    z = zP + jnp.einsum("jn,bnl->bjl", Hout, s_prev) + c_prev[:, None, :]
     z = z.reshape(nb * SB, L)[:T].reshape((T,) + batch_shape)
     z = jnp.moveaxis(z, 0, axis)
     if return_state:

@@ -56,6 +56,17 @@ def stht(x, kernel, axis: int = 0, method: str = "fft"):
     inphase = jnp.roll(x, K // 2, axis=axis)
     if method == "conv":
         quad = _hilbert_quad_conv(kernel, x, axis=axis)
+    elif method == "blockmm":
+        from .fir import _fir_block_matmul
+
+        # 512-sample blocks: ~1.6x faster than 128 standalone on v5e (neutral
+        # once fused into the encode program, where the stage is not
+        # MXU-bound), float32-exact HIGHEST accumulation.  Two measured
+        # non-wins recorded: bf16x3 (HIGH) precision — no in-pipeline gain,
+        # so not worth the 4e-5 rel error; a polyphase variant exploiting the
+        # kernel's exactly-zero even taps — stride-2 de-interleave relayouts
+        # cost more than the halved FLOPs.
+        quad = _fir_block_matmul(kernel, x, axis=axis, block=512)
     else:
         quad = fir_filter(kernel, x, axis=axis, method=method if method != "fft" else "fft")
     return inphase + 1j * quad

@@ -1,0 +1,228 @@
+"""Serving daemon: N concurrent audio streams in, DoA estimates out.
+
+The reference's closest analogue is the live demo loop — one sox capture at
+a time, re-entering Python per frame, plotting the result
+(micloc/xylo_snn_localization.py:446-542, micloc/record.py:54-60).  This is
+its production-shaped TPU twin: a native C++ ingestion daemon
+(native/streamd.cpp, bound via ctypes) accepts TCP audio streams into
+per-stream ring buffers on reader threads, and one Python loop advances ALL
+live streams by one carried-state chunk per device launch
+(runtime.StreamingLocalizer's batched serving step) and routes each stream's
+DoA estimate back over its socket.
+
+Key serving semantics:
+  * at most one chunk per stream per step (the carried state advances
+    exactly one chunk at a time); streams with nothing pending keep their
+    state frozen (masked merge) — silence is NOT synthesized for idle slots;
+  * a (re)claimed stream slot has its carried state zeroed before its first
+    chunk (the daemon reports such slots through ``sd_take_resets``);
+  * the device step runs at the full batch width every time — idle lanes
+    compute on stale data and are masked out, which costs nothing extra on
+    the TPU (the batched program is one fixed shape, compiled once).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import socket
+import struct
+import subprocess
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .streaming import StreamingLocalizer
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "streamd.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libstreamd.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC, "-pthread"],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.sd_start.argtypes = [ctypes.c_uint16, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32]
+        lib.sd_start.restype = ctypes.c_void_p
+        lib.sd_port.argtypes = [ctypes.c_void_p]
+        lib.sd_port.restype = ctypes.c_int
+        lib.sd_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, u32p, f32p]
+        lib.sd_next_batch.restype = ctypes.c_int
+        lib.sd_take_resets.argtypes = [ctypes.c_void_p, u32p, ctypes.c_int]
+        lib.sd_take_resets.restype = ctypes.c_int
+        lib.sd_post_results.argtypes = [ctypes.c_void_p, ctypes.c_uint32, u32p, f32p]
+        lib.sd_post_results.restype = None
+        lib.sd_stop.argtypes = [ctypes.c_void_p]
+        lib.sd_stop.restype = None
+        _lib = lib
+        return lib
+
+
+class LocalizationServer:
+    """TCP serving front-end around :class:`StreamingLocalizer`.
+
+    One instance owns ``max_streams`` stream slots; clients claim a slot id
+    and stream float32 PCM; the server answers with the running DoA estimate
+    after every processed chunk.
+    """
+
+    def __init__(self, demo, max_streams: int = 64, chunk_sec: float = 0.25,
+                 port: int = 0, method: str | None = None):
+        self.sl = StreamingLocalizer(demo)
+        self.demo = demo
+        self.B = int(max_streams)
+        self.Tc = int(round(chunk_sec * demo.fs))
+        self.M = len(demo.geometry)
+        self.method = method or (
+            "matched" if getattr(demo, "_profiles", None) is not None else "peak"
+        )
+        self._lib = _load()
+        self._h = self._lib.sd_start(port, self.B, self.Tc, self.M)
+        if not self._h:
+            raise OSError("streamd: failed to bind server socket")
+        self.port = self._lib.sd_port(self._h)
+        self._stop = threading.Event()
+        self._thread = None
+
+        self._ids_buf = (ctypes.c_uint32 * self.B)()
+        self._data_buf = np.zeros((self.B, self.Tc, self.M), np.float32)
+        self._state = self.sl.init_state(batch=self.B)
+        self._build_jits()
+
+    # ---- jitted helpers -------------------------------------------------
+    def _build_jits(self):
+        doa_list = jnp.asarray(self.demo.doa_list)
+        num_DoA = len(self.demo.doa_list)
+        fs = self.demo.fs
+        profiles = getattr(self.demo, "_profiles", None)
+        profiles = None if profiles is None else jnp.asarray(profiles, jnp.float32)
+        method = self.method
+
+        @jax.jit
+        def merge(new_state, old_state, active):
+            def sel(n, o):
+                m = active.reshape((-1,) + (1,) * (n.ndim - 1))
+                return jnp.where(m, n, o)
+
+            return jax.tree.map(sel, new_state, old_state)
+
+        @jax.jit
+        def reset(state, mask):
+            zeros = self.sl.init_state(batch=self.B)
+
+            def sel(z, o):
+                m = mask.reshape((-1,) + (1,) * (z.ndim - 1))
+                return jnp.where(m, z, o)
+
+            return jax.tree.map(sel, zeros, state)
+
+        @jax.jit
+        def doas(state):
+            steps = jnp.maximum(state.steps, 1)
+            r = state.counts.astype(jnp.float32) / steps[..., None] * fs
+            r = r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
+            if method == "matched" and profiles is not None:
+                rc = r - jnp.mean(r, axis=-1, keepdims=True)
+                scores = rc @ profiles.T
+                return doa_list[jnp.argmax(scores, axis=-1)]
+            return doa_list[jnp.argmax(r, axis=-1)]
+
+        self._merge, self._reset, self._doas = merge, reset, doas
+
+    # ---- serving loop ---------------------------------------------------
+    def step(self, timeout_ms: int = 100) -> int:
+        """One serving step: drain ≤B ready chunks, advance those streams,
+        answer them.  Returns the number of streams served."""
+        n_reset = self._lib.sd_take_resets(self._h, self._ids_buf, self.B)
+        if n_reset > 0:
+            mask = np.zeros(self.B, bool)
+            mask[np.ctypeslib.as_array(self._ids_buf)[:n_reset]] = True
+            self._state = self._reset(self._state, jnp.asarray(mask))
+
+        n = self._lib.sd_next_batch(
+            self._h, self.B, timeout_ms, self._ids_buf,
+            self._data_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if n <= 0:
+            return 0
+        ids = np.ctypeslib.as_array(self._ids_buf)[:n].copy()
+        active = np.zeros(self.B, bool)
+        active[ids] = True
+        chunks = np.zeros((self.B, self.Tc, self.M), np.float32)
+        chunks[ids] = self._data_buf[:n]
+        new_state = self.sl.process_chunk(
+            self._state, jnp.asarray(chunks), return_spikes=False
+        )
+        self._state = self._merge(new_state, self._state, jnp.asarray(active))
+        all_doas = np.asarray(self._doas(self._state), np.float32)
+        out_ids = (ctypes.c_uint32 * n)(*ids.tolist())
+        out_doas = (ctypes.c_float * n)(*all_doas[ids].tolist())
+        self._lib.sd_post_results(self._h, n, out_ids, out_doas)
+        return n
+
+    def serve_forever(self):
+        while not self._stop.is_set():
+            self.step()
+
+    def start(self):
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def close(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        if self._h:
+            self._lib.sd_stop(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class StreamClient:
+    """Minimal client for :class:`LocalizationServer` (tests / demos)."""
+
+    def __init__(self, port: int, stream_id: int, host: str = "127.0.0.1"):
+        self.sock = socket.create_connection((host, port))
+        self.sock.sendall(struct.pack("<II", 0x484D3234, stream_id))
+
+    def send(self, chunk: np.ndarray):
+        """Send a (T, M) float32 block (any T; the daemon re-chunks)."""
+        data = np.ascontiguousarray(chunk, np.float32)
+        self.sock.sendall(struct.pack("<I", data.size) + data.tobytes())
+
+    def recv_doa(self, timeout: float = 30.0):
+        self.sock.settimeout(timeout)
+        buf = b""
+        while len(buf) < 8:
+            part = self.sock.recv(8 - len(buf))
+            if not part:
+                raise ConnectionError("server closed")
+            buf += part
+        sid, doa = struct.unpack("<If", buf)
+        return sid, doa
+
+    def close(self):
+        self.sock.close()

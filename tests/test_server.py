@@ -1,0 +1,95 @@
+"""Serving daemon: native TCP ingestion (native/streamd.cpp) + the batched
+carried-state serving loop answer concurrent streams with DoA estimates.
+
+Production twin of the reference's one-capture-at-a-time live demo loop
+(micloc/xylo_snn_localization.py:446-542); see runtime/server.py.
+"""
+import numpy as np
+import pytest
+
+from haghighatshoarmuir2024_tpu import CenterCircularArray
+from haghighatshoarmuir2024_tpu.models.xylo import Demo
+from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+from haghighatshoarmuir2024_tpu.runtime.server import LocalizationServer, StreamClient
+
+FS = 48_000
+
+
+@pytest.fixture(scope="module")
+def demo():
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    return Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900]],
+        doa_list=np.linspace(-np.pi, np.pi, 65),
+        recording_duration=0.25,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+    )
+
+
+def _stream_signal(demo, doa, duration, seed):
+    t = np.arange(0, duration, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    clean = np.asarray(signal_from_template(demo.geometry, t, sig, doa, fs=FS))
+    rng = np.random.default_rng(seed)
+    sigma = np.sqrt((clean**2).mean() / 10 ** (10.0 / 10))
+    return (clean + sigma * rng.standard_normal(clean.shape)).astype(np.float32)
+
+
+def _folded_deg(a, b):
+    return np.rad2deg(np.arcsin(abs(np.sin(a - b))))
+
+
+def test_server_two_streams_localize(demo):
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    doas_true = {0: 0.7, 2: -1.4}
+    with LocalizationServer(demo, max_streams=4, chunk_sec=chunk_sec) as srv:
+        srv.start()
+        clients = {sid: StreamClient(srv.port, sid) for sid in doas_true}
+        sigs = {
+            sid: _stream_signal(demo, d, 3 * chunk_sec, seed=sid)
+            for sid, d in doas_true.items()
+        }
+        got = {}
+        for k in range(3):
+            for sid, c in clients.items():
+                c.send(sigs[sid][k * Tc : (k + 1) * Tc])
+            for sid, c in clients.items():
+                rid, doa = c.recv_doa(timeout=300.0)
+                assert rid == sid
+                got[sid] = doa
+        for sid, d_true in doas_true.items():
+            assert _folded_deg(got[sid], d_true) < 25.0, (sid, got[sid], d_true)
+        for c in clients.values():
+            c.close()
+
+
+def test_server_slot_reset_on_reconnect(demo):
+    """A reclaimed slot starts from zeroed carried state (no bleed-through
+    from the previous occupant of the slot)."""
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    with LocalizationServer(demo, max_streams=2, chunk_sec=chunk_sec) as srv:
+        srv.start()
+        c1 = StreamClient(srv.port, 1)
+        sig_a = _stream_signal(demo, 0.7, 2 * chunk_sec, seed=1)
+        for k in range(2):
+            c1.send(sig_a[k * Tc : (k + 1) * Tc])
+            c1.recv_doa(timeout=300.0)
+        c1.close()
+
+        import time
+
+        time.sleep(0.5)  # let the daemon reap the closed socket
+        c2 = StreamClient(srv.port, 1)
+        sig_b = _stream_signal(demo, -1.4, 2 * chunk_sec, seed=2)
+        last = None
+        for k in range(2):
+            c2.send(sig_b[k * Tc : (k + 1) * Tc])
+            _, last = c2.recv_doa(timeout=300.0)
+        assert _folded_deg(last, -1.4) < 25.0, last
+        c2.close()
