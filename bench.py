@@ -89,7 +89,10 @@ def main():
     # (time the jitted callable itself; the Python convenience wrapper is not
     # part of the compiled pipeline)
     fn = demo._forward_batch_matched_jit
-    n_rep = 10
+    # enough pipelined reps to amortize the host<->device round-trip (the
+    # axon tunnel costs ~24 ms per blocking sync; at 10 reps that inflates
+    # per-batch time by ~2.4 ms)
+    n_rep = 100
     t1 = time.time()
     for _ in range(n_rep):
         doa, rate = fn(frames_j)

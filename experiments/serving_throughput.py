@@ -118,5 +118,92 @@ def main(
     return metrics
 
 
+def daemon_main(
+    batch: int = 64,
+    chunk_sec: float = 0.25,
+    n_steps: int = 20,
+    freq_band=(1600, 1900),
+    num_grid: int = 64 * 7 + 1,
+):
+    """End-to-end serving throughput THROUGH the native daemon: 64 TCP
+    clients stream PCM in lockstep; wall time covers socket ingestion
+    (native/streamd.cpp ring buffers), the batched carried-state device
+    step, and DoA result routing — the full production path."""
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.models.xylo import Demo
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+    from haghighatshoarmuir2024_tpu.runtime.server import (
+        LocalizationServer,
+        StreamClient,
+    )
+
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    demo = Demo(
+        geometry=geometry,
+        freq_bands=[list(freq_band)],
+        doa_list=np.linspace(-np.pi, np.pi, num_grid),
+        recording_duration=chunk_sec,
+        kernel_duration=10e-3,
+        bipolar_spikes=True,
+        fs=FS,
+    )
+    demo.calibrate_profiles()
+
+    t, sig = sinusoid_template(float(np.mean(freq_band)), chunk_sec)
+    rng = np.random.default_rng(0)
+    doas = np.linspace(-np.pi, np.pi, batch, endpoint=False)
+    chunks = np.stack(
+        [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS)) for d in doas]
+    ).astype(np.float32)
+    chunks = chunks + 0.1 * rng.standard_normal(chunks.shape).astype(np.float32)
+
+    # PCM16 wire format: halves socket + host->device bytes (the pipeline
+    # is amplitude-scale-invariant); production audio is int16 anyway
+    peak = np.abs(chunks).max()
+    chunks_i16 = np.clip(chunks / peak * 32000, -32768, 32767).astype(np.int16)
+    with LocalizationServer(
+        demo, max_streams=batch, chunk_sec=chunk_sec, wire_dtype="i16",
+        batch_window_ms=60,
+    ) as srv:
+        srv.start()
+        clients = [StreamClient(srv.port, i) for i in range(batch)]
+        # warm-up step compiles the batched program
+        for i, c in enumerate(clients):
+            c.send(chunks_i16[i])
+        got = {}
+        for c in clients:
+            sid, doa = c.recv_doa(timeout=600.0)
+            got[sid] = doa
+
+        t0 = time.time()
+        for _ in range(n_steps):
+            for i, c in enumerate(clients):
+                c.send(chunks_i16[i])
+            for c in clients:
+                sid, doa = c.recv_doa(timeout=600.0)
+                got[sid] = doa
+        wall = time.time() - t0
+        ests = np.array([got[i] for i in range(batch)])
+        err = np.abs(np.arcsin(np.abs(np.sin(ests - doas))))
+        ok = float(np.mean(np.rad2deg(err) < 5.0))
+        for c in clients:
+            c.close()
+
+    serving = batch * chunk_sec * n_steps / wall
+    metrics = {
+        "daemon-audio-sec/sec": round(serving, 1),
+        "daemon-step-ms": round(wall / n_steps * 1000, 2),
+        "streams": batch,
+        "doa-ok-frac@5deg": ok,
+    }
+    print(json.dumps(metrics))
+    return metrics
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--daemon" in sys.argv:
+        daemon_main()
+    else:
+        main()

@@ -59,16 +59,18 @@ def _load():
         lib = ctypes.CDLL(_SO)
         u32p = ctypes.POINTER(ctypes.c_uint32)
         f32p = ctypes.POINTER(ctypes.c_float)
-        lib.sd_start.argtypes = [ctypes.c_uint16, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32]
+        lib.sd_start.argtypes = [ctypes.c_uint16, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32]
         lib.sd_start.restype = ctypes.c_void_p
         lib.sd_port.argtypes = [ctypes.c_void_p]
         lib.sd_port.restype = ctypes.c_int
-        lib.sd_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, u32p, f32p]
+        lib.sd_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, u32p, ctypes.c_void_p]
         lib.sd_next_batch.restype = ctypes.c_int
         lib.sd_take_resets.argtypes = [ctypes.c_void_p, u32p, ctypes.c_int]
         lib.sd_take_resets.restype = ctypes.c_int
         lib.sd_post_results.argtypes = [ctypes.c_void_p, ctypes.c_uint32, u32p, f32p]
         lib.sd_post_results.restype = None
+        lib.sd_set_window.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.sd_set_window.restype = None
         lib.sd_stop.argtypes = [ctypes.c_void_p]
         lib.sd_stop.restype = None
         _lib = lib
@@ -79,12 +81,14 @@ class LocalizationServer:
     """TCP serving front-end around :class:`StreamingLocalizer`.
 
     One instance owns ``max_streams`` stream slots; clients claim a slot id
-    and stream float32 PCM; the server answers with the running DoA estimate
-    after every processed chunk.
+    and stream PCM (float32, or int16 with ``wire_dtype="i16"`` — half the
+    socket and host→device bytes); the server answers with the running DoA
+    estimate after every processed chunk.
     """
 
     def __init__(self, demo, max_streams: int = 64, chunk_sec: float = 0.25,
-                 port: int = 0, method: str | None = None):
+                 port: int = 0, method: str | None = None,
+                 batch_window_ms: int = 10, wire_dtype: str = "f32"):
         self.sl = StreamingLocalizer(demo)
         self.demo = demo
         self.B = int(max_streams)
@@ -93,16 +97,24 @@ class LocalizationServer:
         self.method = method or (
             "matched" if getattr(demo, "_profiles", None) is not None else "peak"
         )
+        if wire_dtype not in ("f32", "i16"):
+            raise ValueError("wire_dtype must be 'f32' or 'i16'")
+        # PCM16 wire format halves socket AND host->device bytes (the
+        # pipeline is amplitude-scale-invariant: linear front-end, extrema
+        # spike decisions, binary spikes into the integer SNN)
+        self.wire_dtype = wire_dtype
+        np_dt, elem = (np.float32, 4) if wire_dtype == "f32" else (np.int16, 2)
         self._lib = _load()
-        self._h = self._lib.sd_start(port, self.B, self.Tc, self.M)
+        self._h = self._lib.sd_start(port, self.B, self.Tc, self.M, elem)
         if not self._h:
             raise OSError("streamd: failed to bind server socket")
+        self._lib.sd_set_window(self._h, batch_window_ms)
         self.port = self._lib.sd_port(self._h)
         self._stop = threading.Event()
         self._thread = None
 
         self._ids_buf = (ctypes.c_uint32 * self.B)()
-        self._data_buf = np.zeros((self.B, self.Tc, self.M), np.float32)
+        self._data_buf = np.zeros((self.B, self.Tc, self.M), np_dt)
         self._state = self.sl.init_state(batch=self.B)
         self._build_jits()
 
@@ -144,7 +156,13 @@ class LocalizationServer:
                 return doa_list[jnp.argmax(scores, axis=-1)]
             return doa_list[jnp.argmax(r, axis=-1)]
 
-        self._merge, self._reset, self._doas = merge, reset, doas
+        @jax.jit
+        def to_f32(x):
+            return x.astype(jnp.float32) * (1.0 / 32768.0)
+
+        self._merge, self._reset, self._doas, self._to_f32 = (
+            merge, reset, doas, to_f32,
+        )
 
     # ---- serving loop ---------------------------------------------------
     def step(self, timeout_ms: int = 100) -> int:
@@ -158,17 +176,20 @@ class LocalizationServer:
 
         n = self._lib.sd_next_batch(
             self._h, self.B, timeout_ms, self._ids_buf,
-            self._data_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._data_buf.ctypes.data_as(ctypes.c_void_p),
         )
         if n <= 0:
             return 0
         ids = np.ctypeslib.as_array(self._ids_buf)[:n].copy()
         active = np.zeros(self.B, bool)
         active[ids] = True
-        chunks = np.zeros((self.B, self.Tc, self.M), np.float32)
-        chunks[ids] = self._data_buf[:n]
+        # the daemon wrote each chunk at row=stream_id of the persistent
+        # buffer; inactive rows hold stale audio, computed on and masked out
+        chunks = jnp.asarray(self._data_buf)
+        if self.wire_dtype == "i16":
+            chunks = self._to_f32(chunks)
         new_state = self.sl.process_chunk(
-            self._state, jnp.asarray(chunks), return_spikes=False
+            self._state, chunks, return_spikes=False
         )
         self._state = self._merge(new_state, self._state, jnp.asarray(active))
         all_doas = np.asarray(self._doas(self._state), np.float32)
@@ -209,8 +230,11 @@ class StreamClient:
         self.sock.sendall(struct.pack("<II", 0x484D3234, stream_id))
 
     def send(self, chunk: np.ndarray):
-        """Send a (T, M) float32 block (any T; the daemon re-chunks)."""
-        data = np.ascontiguousarray(chunk, np.float32)
+        """Send a (T, M) block (any T; the daemon re-chunks).  The dtype
+        must match the server's ``wire_dtype``: float32 or int16 PCM."""
+        data = np.ascontiguousarray(chunk)
+        if data.dtype not in (np.float32, np.int16):
+            data = data.astype(np.float32)
         self.sock.sendall(struct.pack("<I", data.size) + data.tobytes())
 
     def recv_doa(self, timeout: float = 30.0):

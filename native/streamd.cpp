@@ -5,16 +5,25 @@
 // for one 0.25 s capture at a time and re-enters Python between frames
 // (micloc/record.py:54-60, micloc/xylo_snn_localization.py:446-542).  This
 // daemon is the production-shaped TPU twin: N concurrent TCP audio streams
-// land in per-stream ring buffers on reader threads; the Python compute
-// loop drains at most one chunk per stream per step (the carried-state
-// batched TPU step advances every stream exactly one chunk), and DoA
-// results are routed back to each stream's socket.
+// land in per-stream ring buffers, the Python compute loop drains at most
+// one chunk per stream per step (the carried-state batched TPU step
+// advances every stream exactly one chunk), and DoA results are routed back
+// to each stream's socket.
+//
+// IO model: ONE epoll event loop thread owns every socket (accept + reads).
+// A thread-per-connection design measured 10x worse on a 2-vCPU host — 64
+// reader threads thrashing a mutex starved the compute thread; the event
+// loop keeps ingestion at one core regardless of stream count.
 //
 // Wire protocol (little-endian):
 //   client → server on connect:  u32 magic 0x484D3234 ("HM24"), u32 stream_id
-//   client → server frames:      u32 n_floats, then n_floats f32
-//                                (time-major mic-interleaved, i.e. row t is
-//                                n_mics consecutive floats, matching (Tc, M))
+//   client → server frames:      u32 n_elems, then n_elems samples of the
+//                                server's configured element type (f32 or
+//                                PCM16 — time-major mic-interleaved, i.e.
+//                                row t is n_mics consecutive samples,
+//                                matching (Tc, M)).  PCM16 halves the wire
+//                                AND host->device bytes; audio arrives as
+//                                int16 in production anyway.
 //   server → client per result:  u32 stream_id, f32 doa_radians
 //
 // Stream ids are client-chosen slots in [0, max_streams); claiming a live
@@ -23,10 +32,13 @@
 #include <arpa/inet.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
+#include <sys/epoll.h>
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <atomic>
+#include <cerrno>
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
@@ -34,6 +46,7 @@
 #include <deque>
 #include <mutex>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -41,43 +54,51 @@ namespace {
 constexpr uint32_t kMagic = 0x484D3234u;  // "HM24"
 
 struct Stream {
-  std::deque<std::vector<float>> ready;  // full chunks awaiting the batch loop
-  std::vector<float> partial;            // tail of the last frame, < chunk
+  std::deque<std::vector<uint8_t>> ready;  // full chunks awaiting the batch loop
+  std::vector<uint8_t> partial;            // tail of the last frame, < chunk
   int fd = -1;                           // live socket (results route here)
   bool reset_pending = false;            // new claim: zero carried state first
 };
 
+// per-connection read state machine (epoll loop only — no locking needed)
+struct Conn {
+  enum State { HELLO, HEADER, BODY } state = HELLO;
+  uint32_t id = UINT32_MAX;   // stream slot after a valid hello
+  uint8_t hdr[8];             // hello (8B) or frame header (4B) accumulator
+  size_t hdr_got = 0;
+  size_t body_left = 0;       // payload bytes still expected
+};
+
 struct Server {
   int listen_fd = -1;
+  int epoll_fd = -1;
   uint16_t port = 0;
   uint32_t max_streams = 0;
-  uint32_t chunk_floats = 0;  // chunk_samples * n_mics
+  uint32_t chunk_bytes = 0;   // chunk_samples * n_mics * elem_size
+  uint32_t elem_size = 4;     // bytes per sample (4 = f32, 2 = PCM16)
   std::atomic<bool> stopping{false};
+  uint32_t batch_window_ms = 2;  // cohort-fill window (sd_set_window)
 
-  std::mutex mu;
+  std::mutex mu;  // guards streams[] (ready/fd/reset) — epoll vs compute
   std::condition_variable ready_cv;
   std::vector<Stream> streams;
   uint32_t rr_cursor = 0;  // round-robin fairness across streams
 
-  std::thread accept_thread;
-  std::vector<std::thread> readers;
+  std::unordered_map<int, Conn> conns;  // epoll thread only
+  std::thread io_thread;
 };
-
-bool read_exact(int fd, void* buf, size_t n) {
-  auto* p = static_cast<uint8_t*>(buf);
-  while (n > 0) {
-    ssize_t r = ::recv(fd, p, n, 0);
-    if (r <= 0) return false;
-    p += r;
-    n -= static_cast<size_t>(r);
-  }
-  return true;
-}
 
 bool write_exact(int fd, const void* buf, size_t n) {
   const auto* p = static_cast<const uint8_t*>(buf);
+  int spins = 0;
   while (n > 0) {
     ssize_t r = ::send(fd, p, n, MSG_NOSIGNAL);
+    if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+      // nonblocking fd with a briefly-full buffer (results are 8 B; rare)
+      if (++spins > 1000) return false;
+      std::this_thread::sleep_for(std::chrono::microseconds(50));
+      continue;
+    }
     if (r <= 0) return false;
     p += r;
     n -= static_cast<size_t>(r);
@@ -85,70 +106,139 @@ bool write_exact(int fd, const void* buf, size_t n) {
   return true;
 }
 
-void reader_loop(Server* s, int fd) {
-  uint32_t hdr[2];
-  if (!read_exact(fd, hdr, sizeof(hdr)) || hdr[0] != kMagic ||
-      hdr[1] >= s->max_streams) {
-    ::close(fd);
-    return;
-  }
-  const uint32_t id = hdr[1];
-  {
-    std::lock_guard<std::mutex> lk(s->mu);
-    Stream& st = s->streams[id];
-    if (st.fd >= 0) {  // slot already live: reject the newcomer
-      ::close(fd);
-      return;
+void close_conn(Server* s, int fd) {
+  auto it = s->conns.find(fd);
+  if (it != s->conns.end()) {
+    const uint32_t id = it->second.id;
+    if (id < s->max_streams) {
+      std::lock_guard<std::mutex> lk(s->mu);
+      if (s->streams[id].fd == fd) s->streams[id].fd = -1;
     }
-    st.fd = fd;
-    st.reset_pending = true;
-    st.partial.clear();
-    st.ready.clear();
+    s->conns.erase(it);
   }
-
-  for (;;) {
-    // frame header: raw float count (time-major samples × mics interleaved)
-    uint32_t n_floats = 0;
-    if (s->stopping.load() || !read_exact(fd, &n_floats, 4)) break;
-    if (n_floats == 0 || n_floats > (64u << 20)) break;
-    std::vector<float> buf(n_floats);
-    if (!read_exact(fd, buf.data(), sizeof(float) * n_floats)) break;
-    std::lock_guard<std::mutex> lk(s->mu);
-    Stream& st = s->streams[id];
-    st.partial.insert(st.partial.end(), buf.begin(), buf.end());
-    while (st.partial.size() >= s->chunk_floats) {
-      st.ready.emplace_back(st.partial.begin(),
-                            st.partial.begin() + s->chunk_floats);
-      st.partial.erase(st.partial.begin(),
-                       st.partial.begin() + s->chunk_floats);
-      s->ready_cv.notify_all();
-    }
-  }
-  {
-    std::lock_guard<std::mutex> lk(s->mu);
-    if (s->streams[id].fd == fd) s->streams[id].fd = -1;
-  }
+  ::epoll_ctl(s->epoll_fd, EPOLL_CTL_DEL, fd, nullptr);
   ::close(fd);
 }
 
-void accept_loop(Server* s) {
-  for (;;) {
-    sockaddr_in peer{};
-    socklen_t len = sizeof(peer);
-    int fd = ::accept(s->listen_fd, reinterpret_cast<sockaddr*>(&peer), &len);
-    if (fd < 0) {
-      if (s->stopping.load()) return;
-      continue;
+// Append raw payload bytes to the stream's partial buffer, slicing off full
+// chunks into the ready queue.  Called from the epoll thread.  Payload is an
+// opaque byte stream (element framing is the header's job), so recv()
+// fragmentation needs no special alignment handling.
+void ingest(Server* s, Conn& c, const uint8_t* data, size_t n) {
+  std::lock_guard<std::mutex> lk(s->mu);
+  Stream& st = s->streams[c.id];
+  st.partial.insert(st.partial.end(), data, data + n);
+  bool notified = false;
+  while (st.partial.size() >= s->chunk_bytes) {
+    st.ready.emplace_back(st.partial.begin(),
+                          st.partial.begin() + s->chunk_bytes);
+    st.partial.erase(st.partial.begin(), st.partial.begin() + s->chunk_bytes);
+    if (!notified) {
+      s->ready_cv.notify_all();
+      notified = true;
     }
-    int one = 1;
-    ::setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
-    std::lock_guard<std::mutex> lk(s->mu);
-    if (s->stopping.load()) {
-      ::close(fd);
+  }
+}
+
+void handle_readable(Server* s, int fd) {
+  auto it = s->conns.find(fd);
+  if (it == s->conns.end()) return;
+  Conn& c = it->second;
+  uint8_t buf[64 * 1024];
+  for (;;) {
+    ssize_t r = ::recv(fd, buf, sizeof(buf), MSG_DONTWAIT);
+    if (r == 0 || (r < 0 && errno != EAGAIN && errno != EWOULDBLOCK)) {
+      close_conn(s, fd);
       return;
     }
-    s->readers.emplace_back(reader_loop, s, fd);
+    if (r < 0) return;  // drained
+    size_t off = 0;
+    while (off < static_cast<size_t>(r)) {
+      if (c.state == Conn::HELLO) {
+        const size_t want = 8 - c.hdr_got;
+        const size_t take = std::min(want, static_cast<size_t>(r) - off);
+        std::memcpy(c.hdr + c.hdr_got, buf + off, take);
+        c.hdr_got += take;
+        off += take;
+        if (c.hdr_got < 8) continue;
+        uint32_t magic, id;
+        std::memcpy(&magic, c.hdr, 4);
+        std::memcpy(&id, c.hdr + 4, 4);
+        c.hdr_got = 0;
+        bool ok = (magic == kMagic && id < s->max_streams);
+        if (ok) {
+          std::lock_guard<std::mutex> lk(s->mu);
+          Stream& st = s->streams[id];
+          if (st.fd >= 0) {
+            ok = false;  // slot already live: reject the newcomer
+          } else {
+            st.fd = fd;
+            st.reset_pending = true;
+            st.partial.clear();
+            st.ready.clear();
+          }
+        }
+        if (!ok) {
+          close_conn(s, fd);
+          return;
+        }
+        c.id = id;
+        c.state = Conn::HEADER;
+      } else if (c.state == Conn::HEADER) {
+        const size_t want = 4 - c.hdr_got;
+        const size_t take = std::min(want, static_cast<size_t>(r) - off);
+        std::memcpy(c.hdr + c.hdr_got, buf + off, take);
+        c.hdr_got += take;
+        off += take;
+        if (c.hdr_got < 4) continue;
+        uint32_t n_elems;
+        std::memcpy(&n_elems, c.hdr, 4);
+        c.hdr_got = 0;
+        if (n_elems == 0 || n_elems > (64u << 20)) {
+          close_conn(s, fd);
+          return;
+        }
+        c.body_left = static_cast<size_t>(n_elems) * s->elem_size;
+        c.state = Conn::BODY;
+      } else {  // BODY
+        const size_t take =
+            std::min(c.body_left, static_cast<size_t>(r) - off);
+        ingest(s, c, buf + off, take);
+        c.body_left -= take;
+        off += take;
+        if (c.body_left == 0) c.state = Conn::HEADER;
+      }
+    }
   }
+}
+
+void io_loop(Server* s) {
+  epoll_event evs[64];
+  while (!s->stopping.load()) {
+    int n = ::epoll_wait(s->epoll_fd, evs, 64, 100);
+    for (int i = 0; i < n; ++i) {
+      const int fd = evs[i].data.fd;
+      if (fd == s->listen_fd) {
+        for (;;) {
+          int cfd = ::accept4(s->listen_fd, nullptr, nullptr, SOCK_NONBLOCK);
+          if (cfd < 0) break;
+          int one = 1;
+          ::setsockopt(cfd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+          epoll_event ev{};
+          ev.events = EPOLLIN;
+          ev.data.fd = cfd;
+          ::epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, cfd, &ev);
+          s->conns.emplace(cfd, Conn{});
+        }
+      } else if (evs[i].events & (EPOLLHUP | EPOLLERR)) {
+        close_conn(s, fd);
+      } else {
+        handle_readable(s, fd);
+      }
+    }
+  }
+  for (auto& [fd, c] : s->conns) ::close(fd);
+  s->conns.clear();
 }
 
 }  // namespace
@@ -156,13 +246,14 @@ void accept_loop(Server* s) {
 extern "C" {
 
 void* sd_start(uint16_t port, uint32_t max_streams, uint32_t chunk_samples,
-               uint32_t n_mics) {
+               uint32_t n_mics, uint32_t elem_size) {
   auto* s = new Server();
   s->max_streams = max_streams;
-  s->chunk_floats = chunk_samples * n_mics;
+  s->elem_size = elem_size ? elem_size : 4;
+  s->chunk_bytes = chunk_samples * n_mics * s->elem_size;
   s->streams.resize(max_streams);
 
-  s->listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
+  s->listen_fd = ::socket(AF_INET, SOCK_STREAM | SOCK_NONBLOCK, 0);
   if (s->listen_fd < 0) {
     delete s;
     return nullptr;
@@ -183,28 +274,57 @@ void* sd_start(uint16_t port, uint32_t max_streams, uint32_t chunk_samples,
   socklen_t alen = sizeof(addr);
   ::getsockname(s->listen_fd, reinterpret_cast<sockaddr*>(&addr), &alen);
   s->port = ntohs(addr.sin_port);
-  s->accept_thread = std::thread(accept_loop, s);
+
+  s->epoll_fd = ::epoll_create1(0);
+  epoll_event ev{};
+  ev.events = EPOLLIN;
+  ev.data.fd = s->listen_fd;
+  ::epoll_ctl(s->epoll_fd, EPOLL_CTL_ADD, s->listen_fd, &ev);
+  s->io_thread = std::thread(io_loop, s);
   return s;
 }
 
 int sd_port(void* h) { return static_cast<Server*>(h)->port; }
 
+void sd_set_window(void* h, uint32_t window_ms) {
+  static_cast<Server*>(h)->batch_window_ms = window_ms;
+}
+
 // Pop at most one ready chunk per stream (round-robin start for fairness),
 // up to max_batch streams.  Blocks up to timeout_ms when nothing is ready.
-// data_out row i receives chunk_samples*n_mics floats for ids_out[i].
+// After the first chunk arrives, keeps collecting for up to window_ms while
+// more streams become ready (batching window: one device launch serves the
+// whole cohort instead of firing on the first straggler).
+// data_out is the caller's persistent (max_streams, chunk) buffer: each
+// served chunk lands at row `stream_id` (slot-indexed, so the Python side
+// re-packs nothing); rows of unserved streams are left untouched.
 int sd_next_batch(void* h, uint32_t max_batch, uint32_t timeout_ms,
-                  uint32_t* ids_out, float* data_out) {
+                  uint32_t* ids_out, uint8_t* data_out) {
   auto* s = static_cast<Server*>(h);
   std::unique_lock<std::mutex> lk(s->mu);
-  auto any_ready = [&] {
-    if (s->stopping.load()) return true;
+  auto count_ready = [&]() -> uint32_t {
+    uint32_t c = 0;
     for (const auto& st : s->streams)
-      if (!st.ready.empty()) return true;
-    return false;
+      if (!st.ready.empty()) ++c;
+    return c;
   };
+  auto any_ready = [&] { return s->stopping.load() || count_ready() > 0; };
   if (!any_ready())
     s->ready_cv.wait_for(lk, std::chrono::milliseconds(timeout_ms), any_ready);
   if (s->stopping.load()) return -1;
+
+  // batching window: wait for the cohort to fill, bounded by window_ms
+  const uint32_t window_ms = s->batch_window_ms;
+  if (window_ms > 0 && count_ready() > 0) {
+    auto deadline =
+        std::chrono::steady_clock::now() + std::chrono::milliseconds(window_ms);
+    uint32_t have = count_ready();
+    while (have < max_batch && have < s->max_streams && !s->stopping.load()) {
+      if (s->ready_cv.wait_until(lk, deadline) == std::cv_status::timeout)
+        break;
+      have = count_ready();
+    }
+  }
 
   int n = 0;
   const uint32_t S = s->max_streams;
@@ -213,8 +333,8 @@ int sd_next_batch(void* h, uint32_t max_batch, uint32_t timeout_ms,
     Stream& st = s->streams[id];
     if (st.ready.empty()) continue;
     ids_out[n] = id;
-    std::memcpy(data_out + static_cast<size_t>(n) * s->chunk_floats,
-                st.ready.front().data(), sizeof(float) * s->chunk_floats);
+    std::memcpy(data_out + static_cast<size_t>(id) * s->chunk_bytes,
+                st.ready.front().data(), s->chunk_bytes);
     st.ready.pop_front();
     ++n;
   }
@@ -250,24 +370,17 @@ void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
     uint8_t msg[8];
     std::memcpy(msg, &ids[i], 4);
     std::memcpy(msg + 4, &doas[i], 4);
-    write_exact(fd, msg, sizeof(msg));  // drop on failure; reader reaps fd
+    write_exact(fd, msg, sizeof(msg));  // drop on failure; epoll reaps fd
   }
 }
 
 void sd_stop(void* h) {
   auto* s = static_cast<Server*>(h);
   s->stopping.store(true);
-  ::shutdown(s->listen_fd, SHUT_RDWR);
+  s->ready_cv.notify_all();
+  if (s->io_thread.joinable()) s->io_thread.join();
   ::close(s->listen_fd);
-  {
-    std::lock_guard<std::mutex> lk(s->mu);
-    for (auto& st : s->streams)
-      if (st.fd >= 0) ::shutdown(st.fd, SHUT_RDWR);
-    s->ready_cv.notify_all();
-  }
-  if (s->accept_thread.joinable()) s->accept_thread.join();
-  for (auto& t : s->readers)
-    if (t.joinable()) t.join();
+  ::close(s->epoll_fd);
   delete s;
 }
 
