@@ -35,7 +35,7 @@ import jax.numpy as jnp  # noqa: E402
 def main(
     batch: int = 64,
     chunk_sec: float = 0.25,
-    n_steps: int = 20,
+    n_steps: int = 100,
     freq_band=(1600, 1900),
     num_grid: int = 64 * 7 + 1,
 ):
@@ -101,10 +101,10 @@ def main(
 
     state1 = sl.init_state()
     t0 = time.time()
-    for _ in range(10):
+    for _ in range(50):
         state1, _ = sl.process_chunk(state1, chunks_j[0])
     jax.tree.leaves(state1)[0].block_until_ready()
-    lat_pipe = (time.time() - t0) / 10 * 1000
+    lat_pipe = (time.time() - t0) / 50 * 1000
 
     metrics = {
         "serving-audio-sec/sec": round(serving, 1),
