@@ -33,7 +33,7 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main(
-    batch: int = 64,
+    batch: int = 96,  # single-chip sweet spot (see bench.py batch sweep)
     chunk_sec: float = 0.25,
     n_steps: int = 100,
     freq_band=(1600, 1900),
