@@ -164,3 +164,55 @@ def test_hilbert_iir_analytic_runs():
     sig = np.sin(2 * np.pi * 1750 * t)[:, None]
     out = np.asarray(hilbert_iir_analytic(sig, b, a, group_delay=0))
     assert out.shape == sig.shape and np.iscomplexobj(out)
+
+
+def test_iir_cumsum_level2_matches_level1(rng):
+    """The second lifting level (modal basis, explicit ASB powers) agrees
+    with the plain level-1 scan to float64 rounding — including a carried
+    state produced by one level and consumed by the other (the TDF2 seam
+    contract is basis-independent)."""
+    import haghighatshoarmuir2024_tpu.ops.iir as iir_mod
+
+    fs = 48_000
+    for order, band in [(1, (1600, 1900)), (2, (1600, 1900)), (2, (300, 400))]:
+        b, a = butter_bandpass(order, band, fs)
+        x = rng.standard_normal((4096, 3))  # nb=128: level-2 active (Q>2)
+        y2_, s2 = iir_filter(
+            b, a, x, axis=0, method="blocked_cumsum", return_state=True
+        )
+        orig = iir_mod._cached_level2_matrices
+        iir_mod._cached_level2_matrices = lambda *args: None
+        try:
+            y1_, s1 = iir_filter(
+                b, a, x, axis=0, method="blocked_cumsum", return_state=True
+            )
+            # cross-basis state hand-off: level-2 state into a level-1 pass
+            z1 = np.asarray(
+                iir_filter(b, a, x[:1024], axis=0, method="blocked_cumsum", zi=s2)
+            )
+        finally:
+            iir_mod._cached_level2_matrices = orig
+        # both levels sit within ~1e-6 of the scipy composition for the
+        # near-unit-pole narrow band; their mutual gap is of the same order
+        np.testing.assert_allclose(np.asarray(y2_), np.asarray(y1_), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-5, atol=1e-5)
+        z2 = np.asarray(
+            iir_filter(b, a, x[:1024], axis=0, method="blocked_cumsum", zi=s1)
+        )
+        np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-5)
+
+
+def test_modal_transform_tames_powers():
+    """The modal basis bounds every lifted power by ~the spectral radius —
+    the property that makes the level-2 matrices float-safe (the companion
+    form transiently amplifies to ~500 at radius 0.66)."""
+    from haghighatshoarmuir2024_tpu.ops.iir import _modal_transform, _tdf2_matrices
+
+    b, a = butter_bandpass(2, (1600, 1900), 48_000)
+    A, _, _ = _tdf2_matrices(b, a)
+    T, Tinv = _modal_transform(A)
+    Am = Tinv @ A @ T
+    radius = max(abs(np.linalg.eigvals(A)))
+    for k in (1, 8, 32, 128):
+        norm = np.linalg.norm(np.linalg.matrix_power(Am, k), 2)
+        assert norm < 3.0 * radius**k + 1e-12, (k, norm, radius**k)
