@@ -119,8 +119,11 @@ def _lif_kernel(
         vmem = vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn
         if not no_sat:
             vmem = jnp.clip(vmem, _STATE_MIN, _STATE_MAX)
-        spk_new = (vmem >= threshold).astype(jnp.int32)
-        vmem = vmem - spk_new * threshold
+        # select-form threshold reset (measured perf-neutral vs
+        # spk*threshold mul+sub; kept for the clearer data flow)
+        fired = vmem >= threshold
+        vmem = jnp.where(fired, vmem - threshold, vmem)
+        spk_new = fired.astype(jnp.int32)
         if has_tail:
             # counts are only accumulated for real steps; state past T_actual
             # may keep evolving (it is discarded — this kernel returns counts
@@ -315,8 +318,11 @@ def _lif_kernel_bipolar(
         vmem = vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn
         if not no_sat:
             vmem = jnp.clip(vmem, _STATE_MIN, _STATE_MAX)
-        spk_new = (vmem >= threshold).astype(jnp.int32)
-        vmem = vmem - spk_new * threshold
+        # select-form threshold reset (measured perf-neutral vs
+        # spk*threshold mul+sub; kept for the clearer data flow)
+        fired = vmem >= threshold
+        vmem = jnp.where(fired, vmem - threshold, vmem)
+        spk_new = fired.astype(jnp.int32)
         if has_tail:
             valid = ((t * TC + s) < T_actual).astype(jnp.int32)
             spk_new = spk_new * valid
@@ -488,8 +494,11 @@ def _lif_kernel_bipolar_stateful(
         vmem = vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn
         if not no_sat:
             vmem = jnp.clip(vmem, _STATE_MIN, _STATE_MAX)
-        spk_new = (vmem >= threshold).astype(jnp.int32)
-        vmem = vmem - spk_new * threshold
+        # select-form threshold reset (measured perf-neutral vs
+        # spk*threshold mul+sub; kept for the clearer data flow)
+        fired = vmem >= threshold
+        vmem = jnp.where(fired, vmem - threshold, vmem)
+        spk_new = fired.astype(jnp.int32)
         if has_tail:
             valid = (t * TC + s) < T_actual
             spk_new = jnp.where(valid, spk_new, 0)
@@ -657,8 +666,11 @@ def _lif_kernel_stateful(
         vmem = vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn
         if not no_sat:
             vmem = jnp.clip(vmem, _STATE_MIN, _STATE_MAX)
-        spk_new = (vmem >= threshold).astype(jnp.int32)
-        vmem = vmem - spk_new * threshold
+        # select-form threshold reset (measured perf-neutral vs
+        # spk*threshold mul+sub; kept for the clearer data flow)
+        fired = vmem >= threshold
+        vmem = jnp.where(fired, vmem - threshold, vmem)
+        spk_new = fired.astype(jnp.int32)
         if has_tail:
             # the final state is part of this kernel's contract, so past
             # T_actual both the counted spikes AND the state writes freeze
