@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 R_TILE = 128
-TB = 1024  # time-block; must be >= 3*w + 8 for the halo argument
+TB = 1536  # time-block (v5e scoped-VMEM fits <=~1536; 2048 OOMs at the 16 MB cap)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -42,11 +42,14 @@ def _round_up(x: int, m: int) -> int:
 def _halo_block(margin: int) -> int:
     """Smallest power-of-two multiple of 128 that covers ``margin`` and
     divides TB — the halo inputs are fetched as blocks of this size instead
-    of full TB blocks (2-3x less DMA per round)."""
+    of full TB blocks (2-3x less DMA per round).  Falls back to full TB
+    blocks when no such divisor exists (TB is not a power of two)."""
     mb = 128
     while mb < margin:
         mb *= 2
-    return min(mb, TB)
+    if mb >= TB or TB % mb:
+        return TB
+    return mb
 
 
 def _margin(w: int, W: int = 0, rounds: int = 1) -> int:
