@@ -52,7 +52,10 @@ def _design_covariances(sig_temp, t0, delays, kernel, fs, stable_part, chunk):
         X = interp_uniform(tq, sig_temp, t0, 1.0 / fs)  # (T, M)
         Xh = stht(X, kernel, axis=0)
         Xs = Xh[stable_part:]
-        return jnp.einsum("tm,tn->mn", Xs.conj(), Xs) / Xs.shape[0]
+        return jnp.einsum(
+            "tm,tn->mn", Xs.conj(), Xs,
+            precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16
+        ) / Xs.shape[0]
 
     return chunked_vmap(one, delays, chunk)
 
@@ -78,7 +81,7 @@ def _apply_core(sig_in, bf_mat, kernel, ba):
     b, a = np.asarray(ba[0]), np.asarray(ba[1])
     sig_h = stht(sig_in, kernel, axis=0)
     sig_h = iir_filter(b, a, sig_h, axis=0, method="scan")
-    return sig_h @ bf_mat.conj()
+    return jnp.matmul(sig_h, bf_mat.conj(), precision=jax.lax.Precision.HIGHEST)
 
 
 class Beamformer:

@@ -67,7 +67,10 @@ def _beamforming_core(
     arr = jnp.exp(-1j * 2 * jnp.pi * freqs[:, None, None] * delays[None, :, :])
 
     # sum_f mean_frames |A(f)^H X(f)|^2 -> (G,)
-    Y = jnp.einsum("kmg,mfk->kgf", arr.conj(), X)
+    Y = jnp.einsum(
+        "kmg,mfk->kgf", arr.conj(), X,
+        precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16
+    )
     return jnp.sum(jnp.mean(jnp.abs(Y) ** 2, axis=-1), axis=0)
 
 

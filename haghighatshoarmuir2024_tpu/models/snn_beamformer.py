@@ -56,7 +56,10 @@ def _design_covariances(
         vmem = lif_filter(spikes, neuron_ir)
         stable = vmem.shape[0] // 4
         vs = vmem[stable:]
-        return jnp.einsum("tm,tn->mn", vs, vs) / vs.shape[0]
+        return jnp.einsum(
+            "tm,tn->mn", vs, vs,
+            precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16
+        ) / vs.shape[0]
 
     return chunked_vmap(one, delays, chunk)
 
@@ -79,7 +82,7 @@ def _apply_core(sig_in, bf_mat, kernel, neuron_ir, ba, robust_width, bipolar):
     sig_real = jnp.concatenate([sig_h.real, sig_h.imag], axis=1)
     spikes = rzcc_encode(sig_real, robust_width, bipolar)
     vmem = lif_filter(spikes, neuron_ir)
-    return vmem @ bf_mat
+    return jnp.matmul(vmem, bf_mat, precision=jax.lax.Precision.HIGHEST)
 
 
 class SNNBeamformer:
