@@ -214,6 +214,15 @@ class Demo:
                 )
                 self.bf_mats.append(np.asarray(bf_vecs))
         self.tau_vecs = np.asarray(self.tau_vecs)
+        # fail fast on a degenerate design — a NaN column here once cached
+        # silently zeroed every later run of this config (the quantizer turns
+        # NaN into INT_MIN weights and the SNN goes silent)
+        for i, m in enumerate(self.bf_mats):
+            if not np.all(np.isfinite(m)):
+                raise FloatingPointError(
+                    f"beamforming design for band {i} contains non-finite "
+                    "values — refusing to use or cache it"
+                )
         if cache is not None and cached is None:
             cache.save(
                 cache_key,

@@ -61,7 +61,19 @@ def dc_removed_sing_vec(C, iters: int = 80):
 
     u_min, u_max = jax.lax.fori_loop(0, iters, body, (u_min, u_max))
     root = (u_min + u_max) / 2.0
-    vec = jnp.einsum("...ij,...j->...i", U, theta / (D - root[..., None]))
+    # Degenerate guard: with EXACTLY tied top eigenvalues (D0 == D1 — real
+    # for float32-exact covariances of structured spike trains; the earlier
+    # bf16 covariance perturbed such ties apart) the bracket is empty, the
+    # root lands on the eigenvalue and theta/(D - root) is 0/0 -> NaN, which
+    # silently zeroed whole unipolar designs.  Clamp the denominator at a
+    # scale-relative epsilon: the weight then concentrates on the tied
+    # leading directions, which is the correct constrained maximizer there.
+    denom = D - root[..., None]
+    tiny = 1e-7 * jnp.maximum(jnp.abs(D[..., :1]), 1e-30)
+    denom = jnp.where(
+        jnp.abs(denom) < tiny, jnp.where(denom < 0, -tiny, tiny), denom
+    )
+    vec = jnp.einsum("...ij,...j->...i", U, theta / denom)
     return vec / jnp.linalg.norm(vec, axis=-1, keepdims=True)
 
 

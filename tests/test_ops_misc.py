@@ -169,3 +169,24 @@ def test_filterbank_matches_scipy():
         b, a = butter(1, band, btype="bandpass", output="ba", fs=fs)
         ref = lfilter(b, a, sig, axis=0)
         np.testing.assert_allclose(got[i], ref, rtol=1e-7, atol=1e-9)
+
+
+def test_dc_removed_sing_vec_degenerate_top_pair():
+    """Exactly tied top eigenvalues (real for float32-exact covariances of
+    structured spike trains) must yield a FINITE unit vector — the empty
+    bisection bracket used to produce 0/0 = NaN, which silently zeroed
+    whole unipolar designs downstream."""
+    rng = np.random.default_rng(3)
+    n = 8
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    D = np.array([2.0, 2.0, 1.0, 0.7, 0.5, 0.3, 0.2, 0.1])
+    C = (Q * D) @ Q.T
+    C = (C + C.T) / 2
+    v = np.asarray(dc_removed_sing_vec(jnp.asarray(C)))
+    assert np.all(np.isfinite(v)), v
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-6)
+
+    # float32 path too (the production dtype on device)
+    v32 = np.asarray(dc_removed_sing_vec(jnp.asarray(C, jnp.float32)))
+    assert np.all(np.isfinite(v32)), v32
+    np.testing.assert_allclose(np.linalg.norm(v32), 1.0, rtol=1e-5)
