@@ -124,16 +124,20 @@ def daemon_main(
     n_steps: int = 20,
     freq_band=(1600, 1900),
     num_grid: int = 64 * 7 + 1,
+    use_shm: bool = False,
 ):
-    """End-to-end serving throughput THROUGH the native daemon: 64 TCP
-    clients stream PCM in lockstep; wall time covers socket ingestion
-    (native/streamd.cpp ring buffers), the batched carried-state device
-    step, and DoA result routing — the full production path."""
+    """End-to-end serving throughput THROUGH the native daemon: 64 clients
+    stream PCM in lockstep; wall time covers ingestion (native/streamd.cpp),
+    the batched carried-state device step, and DoA result routing — the full
+    production path.  ``use_shm=True`` swaps the TCP sockets for per-stream
+    shared-memory rings (co-located producer path): plain memcpy in, seq-slot
+    results out — no socket syscalls, no kernel copies, no epoll reader."""
     from haghighatshoarmuir2024_tpu import CenterCircularArray
     from haghighatshoarmuir2024_tpu.models.xylo import Demo
     from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
     from haghighatshoarmuir2024_tpu.runtime.server import (
         LocalizationServer,
+        ShmStreamClient,
         StreamClient,
     )
 
@@ -161,37 +165,56 @@ def daemon_main(
     # is amplitude-scale-invariant); production audio is int16 anyway
     peak = np.abs(chunks).max()
     chunks_i16 = np.clip(chunks / peak * 32000, -32768, 32767).astype(np.int16)
+    import os
+
     with LocalizationServer(
         demo, max_streams=batch, chunk_sec=chunk_sec, wire_dtype="i16",
         batch_window_ms=60,
     ) as srv:
         srv.start()
-        clients = [StreamClient(srv.port, i) for i in range(batch)]
+        if use_shm:
+            clients = [
+                ShmStreamClient(f"hm2024_bench_{os.getpid()}_{i}") for i in range(batch)
+            ]
+            for i, c in enumerate(clients):
+                srv.attach_shm(i, c.name)
+        else:
+            clients = [StreamClient(srv.port, i) for i in range(batch)]
         # warm-up step compiles the batched program
         for i, c in enumerate(clients):
             c.send(chunks_i16[i])
         got = {}
-        for c in clients:
-            sid, doa = c.recv_doa(timeout=600.0)
-            got[sid] = doa
+        if use_shm:
+            for i, c in enumerate(clients):
+                got[i] = c.recv_doa(timeout=600.0)
+        else:
+            for c in clients:
+                sid, doa = c.recv_doa(timeout=600.0)
+                got[sid] = doa
 
         t0 = time.time()
         for _ in range(n_steps):
             for i, c in enumerate(clients):
                 c.send(chunks_i16[i])
-            for c in clients:
-                sid, doa = c.recv_doa(timeout=600.0)
-                got[sid] = doa
+            if use_shm:
+                for i, c in enumerate(clients):
+                    got[i] = c.recv_doa(timeout=600.0)
+            else:
+                for c in clients:
+                    sid, doa = c.recv_doa(timeout=600.0)
+                    got[sid] = doa
         wall = time.time() - t0
         ests = np.array([got[i] for i in range(batch)])
         err = np.abs(np.arcsin(np.abs(np.sin(ests - doas))))
         ok = float(np.mean(np.rad2deg(err) < 5.0))
-        for c in clients:
+        for i, c in enumerate(clients):
+            if use_shm:
+                srv.detach_shm(i)
             c.close()
 
     serving = batch * chunk_sec * n_steps / wall
     metrics = {
-        "daemon-audio-sec/sec": round(serving, 1),
+        ("shm" if use_shm else "daemon") + "-audio-sec/sec": round(serving, 1),
         "daemon-step-ms": round(wall / n_steps * 1000, 2),
         "streams": batch,
         "doa-ok-frac@5deg": ok,
@@ -203,7 +226,9 @@ def daemon_main(
 if __name__ == "__main__":
     import sys
 
-    if "--daemon" in sys.argv:
+    if "--shm" in sys.argv:
+        daemon_main(use_shm=True)
+    elif "--daemon" in sys.argv:
         daemon_main()
     else:
         main()

@@ -25,12 +25,24 @@ from ..ops.interp import received_signal
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ba", "num_active_freq", "num_fft_bin", "num_fft_frames")
+    jax.jit,
+    static_argnames=(
+        "ba", "num_active_freq", "num_fft_bin", "num_fft_frames", "num_sources",
+    ),
 )
 def _beamforming_core(
-    sig_in, delays, freq_sel, bin_index, ba, num_active_freq, num_fft_bin, num_fft_frames
+    sig_in, delays, freq_sel, bin_index, ba, num_active_freq, num_fft_bin,
+    num_fft_frames, num_sources=0,
 ):
     """Angular power spectrum of one signal frame.
+
+    ``num_sources == 0`` reproduces the reference algorithm exactly: Bartlett
+    power on dominant bins (micloc/music_beamformer.py:91-186 — despite its
+    class name the reference never forms a noise subspace).  ``num_sources >=
+    1`` is the beyond-parity TRUE-MUSIC path: per dominant bin, the M×M
+    narrowband covariance over FFT sub-frames is eigendecomposed, the
+    ``M − num_sources`` smallest eigenvectors span the noise subspace, and the
+    pseudospectrum ``1 / (a^H E_n E_n^H a)`` is accumulated across bins.
 
     Args:
         sig_in: (T, M).
@@ -65,6 +77,24 @@ def _beamforming_core(
 
     # steering vectors at the active frequencies: (K, M, G)
     arr = jnp.exp(-1j * 2 * jnp.pi * freqs[:, None, None] * delays[None, :, :])
+
+    if num_sources > 0:
+        # ---- true MUSIC: noise-subspace pseudospectrum per dominant bin
+        Xk = jnp.moveaxis(X, -1, 0)  # (K, M, F_frames)
+        R = jnp.einsum(
+            "kmf,knf->kmn", Xk, Xk.conj(),
+            precision=jax.lax.Precision.HIGHEST,
+        ) / X.shape[1]
+        _, evecs = jnp.linalg.eigh(R)  # ascending eigenvalues
+        noise = evecs[:, :, : num_chan - num_sources]  # (K, M, M-S)
+        # c[k, n, g] = E_n^H a: noise-subspace leakage of each steering vector
+        c = jnp.einsum(
+            "kmn,kmg->kng", noise.conj(), arr,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        denom = jnp.sum(jnp.abs(c) ** 2, axis=1)  # (K, G)
+        # steering vectors are unnormalized (|a|^2 = M); scale-free argmax
+        return jnp.sum(1.0 / jnp.maximum(denom, 1e-12), axis=0)
 
     # sum_f mean_frames |A(f)^H X(f)|^2 -> (G,)
     Y = jnp.einsum(
@@ -131,9 +161,16 @@ class MUSIC:
         mask = (fmin <= freq_vec) & (freq_vec <= fmax)
         return np.nonzero(mask)[0], freq_vec[mask]
 
-    def beamforming(self, sig_in, num_active_freq: int, num_fft_bin: int):
+    def beamforming(
+        self, sig_in, num_active_freq: int, num_fft_bin: int, num_sources: int = 0
+    ):
         """Angular power spectrum (num_DoA,) of one frame
-        (micloc/music_beamformer.py:91-186)."""
+        (micloc/music_beamformer.py:91-186).
+
+        ``num_sources=0`` (default) is the reference-parity Bartlett path;
+        ``num_sources>=1`` computes the true noise-subspace MUSIC
+        pseudospectrum (beyond-parity option — the reference's class is named
+        MUSIC but never eigendecomposes; see module docstring)."""
         sig_in = jnp.asarray(sig_in)
         min_freq_spacing = self.fs / num_fft_bin
         fmin, fmax = self.freq_range
@@ -147,6 +184,11 @@ class MUSIC:
         if num_chan != len(self.geometry):
             raise ValueError("input signal should be of dim `T x num_mic`!")
 
+        if num_sources < 0 or num_sources >= len(self.geometry):
+            raise ValueError(
+                "num_sources must be in [0, num_mic) — 0 selects the "
+                "reference-parity Bartlett path"
+            )
         num_fft_frames = max(1, T // num_fft_bin)
         bin_index, freq_sel = self._bins(num_fft_bin)
         return _beamforming_core(
@@ -158,10 +200,12 @@ class MUSIC:
             num_active_freq=num_active_freq,
             num_fft_bin=num_fft_bin,
             num_fft_frames=num_fft_frames,
+            num_sources=num_sources,
         )
 
     def apply_to_signal(
-        self, sig_in, num_active_freq: int, duration_overlap: float, num_fft_bin: int
+        self, sig_in, num_active_freq: int, duration_overlap: float, num_fft_bin: int,
+        num_sources: int = 0,
     ):
         """Sliding-frame angular power spectrum, (num_frames, num_DoA)
         (micloc/music_beamformer.py:188-261)."""
@@ -186,13 +230,15 @@ class MUSIC:
             starts = np.arange(num_full) * num_samples_fresh
             frames = jnp.stack([sig_in[s : s + num_samples_frame] for s in starts])
             bf = jax.vmap(
-                lambda f: self.beamforming(f, num_active_freq, num_fft_bin)
+                lambda f: self.beamforming(f, num_active_freq, num_fft_bin, num_sources)
             )(frames)
             out.append(bf)
 
         start_idx = num_full * num_samples_fresh
         if (T - start_idx) > 0.5 * num_samples_frame:
-            tail = self.beamforming(sig_in[start_idx:T], num_active_freq, num_fft_bin)
+            tail = self.beamforming(
+                sig_in[start_idx:T], num_active_freq, num_fft_bin, num_sources
+            )
             out.append(tail[None])
         return jnp.concatenate(out, axis=0) if out else jnp.zeros((0, len(self.doa_list)))
 
@@ -204,6 +250,7 @@ class MUSIC:
         num_fft_bin: int,
         snr_db: float,
         key=None,
+        num_sources: int = 0,
     ):
         """Simulation harness + sliding-frame beamforming
         (micloc/music_beamformer.py:263-335)."""
@@ -233,4 +280,5 @@ class MUSIC:
             num_active_freq=num_active_freq,
             duration_overlap=duration_overlap,
             num_fft_bin=num_fft_bin,
+            num_sources=num_sources,
         )

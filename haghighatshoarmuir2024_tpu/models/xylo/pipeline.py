@@ -309,7 +309,10 @@ class Demo:
                 raise ValueError("call calibrate_profiles() before method='matched'")
             r = jnp.asarray(spike_rate)
             r = r - jnp.mean(r)
-            scores = self._profiles @ r
+            # f32-exact: default bf16 matmul can flip near-tie argmaxes
+            scores = jnp.matmul(
+                self._profiles, r, precision=jax.lax.Precision.HIGHEST
+            )
             return jnp.asarray(self.doa_list)[jnp.argmax(scores)]
         spike_rate = jnp.asarray(spike_rate)
         doa_list = jnp.asarray(self.doa_list)
@@ -557,7 +560,8 @@ class Demo:
         def fwd(sig_in):
             _, rate_doa = base(sig_in)
             r = rate_doa - jnp.mean(rate_doa)
-            doa = doa_list[jnp.argmax(profiles @ r)]
+            scores = jnp.matmul(profiles, r, precision=jax.lax.Precision.HIGHEST)
+            doa = doa_list[jnp.argmax(scores)]
             return doa, rate_doa
 
         return fwd
@@ -586,7 +590,9 @@ class Demo:
         def fwd(sig_batch):
             _, rate_doa = base(sig_batch)
             r = rate_doa - jnp.mean(rate_doa, axis=-1, keepdims=True)
-            scores = r @ profiles.T  # (B, G) correlation against calibrated rows
+            # (B, G) correlation against calibrated rows; f32-exact since the
+            # default bf16 matmul can flip near-tie argmaxes on the DoA grid
+            scores = jnp.matmul(r, profiles.T, precision=jax.lax.Precision.HIGHEST)
             doa = doa_list[jnp.argmax(scores, axis=-1)]
             return doa, rate_doa
 

@@ -425,7 +425,18 @@ def lif_count_rates_bipolar(config, kp_tbc, kn_tbc, time_chunk: int = 32,
         if spike_bound is not None
         else False
     )
-    return _lif_count_bipolar_impl(
+    # Mosaic landmine: the in-kernel (TC, B, C) -> (TC*B, C) int8 shape cast
+    # only lowers when B is a multiple of 4 (the int8 4-per-word sublane
+    # packing) or B == 1 — measured: 1/4/24/96 compile, 2/3/6/17/18 hit an
+    # 'unsupported shape cast' HTTP 500.  Pad the batch with zero-spike rows
+    # (inert dynamics) and slice the counts back.
+    B = kp_tbc.shape[1]
+    B_pad = 0 if (B == 1 or B % 4 == 0) else (-B) % 4
+    if B_pad:
+        pad = ((0, 0), (0, B_pad), (0, 0))
+        kp_tbc = jnp.pad(kp_tbc.astype(jnp.int8), pad)
+        kn_tbc = jnp.pad(kn_tbc.astype(jnp.int8), pad)
+    counts = _lif_count_bipolar_impl(
         kp_tbc.astype(jnp.int8),
         kn_tbc.astype(jnp.int8),
         jnp.asarray(config.w_in, jnp.int32),
@@ -437,6 +448,7 @@ def lif_count_rates_bipolar(config, kp_tbc, kn_tbc, time_chunk: int = 32,
         int8_mm=int8_mm,
         no_sat=no_sat,
     )
+    return counts[:B] if B_pad else counts
 
 
 # ----------------------------------------------- stateful bipolar variant
@@ -605,7 +617,19 @@ def lif_count_stateful_bipolar(config, kp_tbc, kn_tbc, isyn0, vmem0, spk0,
         if spike_bound is not None
         else False
     )
-    return _lif_count_bipolar_stateful_impl(
+    # batch padded to a multiple of 4: the in-kernel int8 shape cast only
+    # lowers for B % 4 == 0 or B == 1 (see lif_count_rates_bipolar)
+    B = kp_tbc.shape[1]
+    B_pad = 0 if (B == 1 or B % 4 == 0) else (-B) % 4
+    if B_pad:
+        pad3 = ((0, 0), (0, B_pad), (0, 0))
+        pad2 = ((0, B_pad), (0, 0))
+        kp_tbc = jnp.pad(kp_tbc.astype(jnp.int8), pad3)
+        kn_tbc = jnp.pad(kn_tbc.astype(jnp.int8), pad3)
+        isyn0 = jnp.pad(jnp.asarray(isyn0, jnp.int32), pad2)
+        vmem0 = jnp.pad(jnp.asarray(vmem0, jnp.int32), pad2)
+        spk0 = jnp.pad(jnp.asarray(spk0, jnp.int32), pad2)
+    out = _lif_count_bipolar_stateful_impl(
         kp_tbc.astype(jnp.int8),
         kn_tbc.astype(jnp.int8),
         jnp.asarray(config.w_in, jnp.int32),
@@ -620,6 +644,9 @@ def lif_count_stateful_bipolar(config, kp_tbc, kn_tbc, isyn0, vmem0, spk0,
         int8_mm=int8_mm,
         no_sat=no_sat,
     )
+    if B_pad:
+        out = tuple(o[:B] for o in out)
+    return out
 
 
 # ----------------------------------------------------------- stateful variant

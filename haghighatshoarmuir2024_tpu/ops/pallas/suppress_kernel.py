@@ -293,7 +293,7 @@ def _round_kernel_bipolar(
 def _round_kernel_bipolar_first(
     hp_ref, hc_ref, hn_ref,  # integrated signal cs: prev/cur/next (TB, R) f32
     pos_out_ref, neg_out_ref, kp_out_ref, kn_out_ref, flag_out_ref,
-    *, w: int, W: int, T: int, M: int,
+    *, w: int, W: int, T: int, M: int, rounds: int = 2,
 ):
     """Fused RZCC round 1: bounded-plateau extrema of ±cs computed IN-REGISTER
     from the signal halos, then one suppression round for both polarities —
@@ -421,18 +421,23 @@ def _round_kernel_bipolar_first(
             jnp.max(ap[M : M + TB]) + jnp.max(an[M : M + TB])
         ).astype(jnp.int32)
 
-    # round 2 runs ONLY in blocks where round 1 left candidates anywhere in
-    # the extended window (candidates beyond it cannot reach this center);
-    # oscillatory audio resolves round 1 almost everywhere, so most blocks
-    # skip ~40% of the kernel's VPU work
-    rem1 = jnp.max(ap1) + jnp.max(an1)
     write_out(ap1, an1, kp1, kn1)
 
-    @pl.when(rem1 > 0.0)
-    def _():
-        ap2, kp2 = one_round(h3, ap1, kp1)
-        an2, kn2 = one_round(-h3, an1, kn1)
-        write_out(ap2, an2, kp2, kn2)
+    if rounds >= 2:
+        # round 2 runs ONLY in blocks where round 1 left candidates anywhere
+        # in the extended window (candidates beyond it cannot reach this
+        # center); oscillatory audio resolves round 1 almost everywhere, so
+        # most blocks skip ~40% of the kernel's VPU work.  The caller fuses
+        # round 2 only when the 2-round margin fits the time block — a
+        # clamped halo here would silently finalize wrong kept bits (the
+        # fallback loop cannot undo them).
+        rem1 = jnp.max(ap1) + jnp.max(an1)
+
+        @pl.when(rem1 > 0.0)
+        def _():
+            ap2, kp2 = one_round(h3, ap1, kp1)
+            an2, kn2 = one_round(-h3, an1, kn1)
+            write_out(ap2, an2, kp2, kn2)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "W", "interpret"))
@@ -448,14 +453,20 @@ def _rzcc_bipolar_fused_impl(cs_tm, w: int, W: int, interpret: bool = False):
     mask_shape = jax.ShapeDtypeStruct((Tp, Rp), jnp.int8)
     flag_shape = jax.ShapeDtypeStruct((nt, nr), jnp.int32)
 
-    # two fused rounds: audio's candidate chains resolve in 2, so the
-    # fallback loop below is a no-op in practice (its cond reads only the
-    # tiny per-block flag array, not the full masks)
-    ROUNDS = 2
+    # Two fused rounds when the 2-round halo margin fits the time block:
+    # audio's candidate chains resolve in 2, so the fallback loop below is a
+    # no-op in practice (its cond reads only the tiny per-block flag array,
+    # not the full masks).  For extreme w/W where the 2-round margin exceeds
+    # TB, _halo_block would clamp the halo and round 2's kept bits would be
+    # silently wrong (the fallback loop cannot undo finalized bits) — so fuse
+    # only round 1 there and let the exact fallback rounds finish the job.
+    ROUNDS = 2 if _margin(w, W, rounds=2) <= TB else 1
     MB1 = _halo_block(_margin(w, W, rounds=ROUNDS))
     prev1, cur, nxt1 = _halo_specs(MB1, Tp)
     first_call = pl.pallas_call(
-        functools.partial(_round_kernel_bipolar_first, w=w, W=W, T=T, M=MB1),
+        functools.partial(
+            _round_kernel_bipolar_first, w=w, W=W, T=T, M=MB1, rounds=ROUNDS
+        ),
         grid=(nt, nr),
         in_specs=[prev1, cur, nxt1],
         out_specs=(cur, cur, cur, cur, flag),

@@ -74,21 +74,29 @@ def monte_carlo_sweep(
 ):
     """Run ``num_sims`` trials per SNR, data-parallel over the mesh.
 
+    ``batch_size`` caps the number of trials materialized per device launch
+    (one fixed-shape compiled program reused across sub-batches) — needed when
+    a single trial is large (e.g. speech-length audio through the full
+    pipeline) and ``num_sims`` concurrent trials would not fit in HBM.
+
     Returns a dict with per-SNR MAE (radians), median error and the raw
     per-trial error matrix (num_snr, num_sims).
     """
     snr_db_vec = np.asarray(snr_db_vec, dtype=np.float32)
+
+    chunk = num_sims if batch_size is None else min(int(batch_size), num_sims)
+    if mesh is not None:
+        # each launch must fill the data axis evenly
+        n_data = mesh.shape["data"]
+        chunk += (-chunk) % n_data
     keys = jax.random.split(key, num_sims)
+    pad = (-num_sims) % chunk
+    if pad:
+        keys = jnp.concatenate([keys, keys[:pad]])
 
     batched = jax.vmap(trial_fn, in_axes=(0, None))
 
     if mesh is not None:
-        # pad sims to the data-axis size and shard the key batch
-        n_data = mesh.shape["data"]
-        pad = (-num_sims) % n_data
-        if pad:
-            keys = jnp.concatenate([keys, keys[:pad]])
-        keys = jax.device_put(keys, data_sharding(mesh, keys.ndim, 0))
         batched = jax.jit(
             batched,
             in_shardings=(data_sharding(mesh, 2, 0), replicated(mesh)),
@@ -97,11 +105,18 @@ def monte_carlo_sweep(
     else:
         batched = jax.jit(batched)
 
+    def place(kc):
+        if mesh is not None:
+            return jax.device_put(kc, data_sharding(mesh, kc.ndim, 0))
+        return kc
+
     errs = []
     for snr_db in snr_db_vec:
-        doa_true, doa_est = batched(keys, jnp.asarray(snr_db))
-        e = np.asarray(folded_angle_error(doa_est, doa_true))[:num_sims]
-        errs.append(e)
+        es = []
+        for s in range(0, keys.shape[0], chunk):
+            doa_true, doa_est = batched(place(keys[s : s + chunk]), jnp.asarray(snr_db))
+            es.append(np.asarray(folded_angle_error(doa_est, doa_true)))
+        errs.append(np.concatenate(es)[:num_sims])
     errs = np.stack(errs)
     return {
         "snr_db": snr_db_vec,

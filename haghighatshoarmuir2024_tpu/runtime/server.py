@@ -65,12 +65,21 @@ def _load():
         lib.sd_port.restype = ctypes.c_int
         lib.sd_next_batch.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, u32p, ctypes.c_void_p]
         lib.sd_next_batch.restype = ctypes.c_int
+        lib.sd_next_batch_r.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32, u32p,
+            ctypes.c_void_p, u32p, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.sd_next_batch_r.restype = ctypes.c_int
         lib.sd_take_resets.argtypes = [ctypes.c_void_p, u32p, ctypes.c_int]
         lib.sd_take_resets.restype = ctypes.c_int
         lib.sd_post_results.argtypes = [ctypes.c_void_p, ctypes.c_uint32, u32p, f32p]
         lib.sd_post_results.restype = None
         lib.sd_set_window.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
         lib.sd_set_window.restype = None
+        lib.sd_shm_attach.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_char_p]
+        lib.sd_shm_attach.restype = ctypes.c_int
+        lib.sd_shm_detach.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.sd_shm_detach.restype = ctypes.c_int
         lib.sd_stop.argtypes = [ctypes.c_void_p]
         lib.sd_stop.restype = None
         _lib = lib
@@ -114,6 +123,8 @@ class LocalizationServer:
         self._thread = None
 
         self._ids_buf = (ctypes.c_uint32 * self.B)()
+        self._reset_buf = (ctypes.c_uint32 * self.B)()
+        self._n_resets = ctypes.c_int(0)
         self._data_buf = np.zeros((self.B, self.Tc, self.M), np_dt)
         self._state = self.sl.init_state(batch=self.B)
         self._build_jits()
@@ -152,7 +163,12 @@ class LocalizationServer:
             r = r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
             if method == "matched" and profiles is not None:
                 rc = r - jnp.mean(r, axis=-1, keepdims=True)
-                scores = rc @ profiles.T
+                # f32-exact scoring: the TPU's default bf16 matmul can flip
+                # near-tie argmaxes over the DoA grid (CLAUDE.md landmine);
+                # off the hot path, cost is negligible
+                scores = jnp.matmul(
+                    rc, profiles.T, precision=jax.lax.Precision.HIGHEST
+                )
                 return doa_list[jnp.argmax(scores, axis=-1)]
             return doa_list[jnp.argmax(r, axis=-1)]
 
@@ -168,16 +184,23 @@ class LocalizationServer:
     def step(self, timeout_ms: int = 100) -> int:
         """One serving step: drain ≤B ready chunks, advance those streams,
         answer them.  Returns the number of streams served."""
-        n_reset = self._lib.sd_take_resets(self._h, self._ids_buf, self.B)
-        if n_reset > 0:
-            mask = np.zeros(self.B, bool)
-            mask[np.ctypeslib.as_array(self._ids_buf)[:n_reset]] = True
-            self._state = self._reset(self._state, jnp.asarray(mask))
-
-        n = self._lib.sd_next_batch(
+        # Chunks and pending resets are drained ATOMICALLY (one daemon mutex
+        # hold, sd_next_batch_r): a claim clears the slot's queued data under
+        # that same mutex, so every returned chunk was ingested after the
+        # most recent claim of its slot.  Zero reset slots' carried state
+        # FIRST, then process all returned chunks — a new claimant's first
+        # chunk runs against fresh state, and a dead predecessor's chunk can
+        # never reach the successor's state (or vice versa).
+        n = self._lib.sd_next_batch_r(
             self._h, self.B, timeout_ms, self._ids_buf,
             self._data_buf.ctypes.data_as(ctypes.c_void_p),
+            self._reset_buf, self.B, ctypes.byref(self._n_resets),
         )
+        n_reset = self._n_resets.value
+        if n_reset > 0:
+            mask = np.zeros(self.B, bool)
+            mask[np.ctypeslib.as_array(self._reset_buf)[:n_reset]] = True
+            self._state = self._reset(self._state, jnp.asarray(mask))
         if n <= 0:
             return 0
         ids = np.ctypeslib.as_array(self._ids_buf)[:n].copy()
@@ -197,6 +220,18 @@ class LocalizationServer:
         out_doas = (ctypes.c_float * n)(*all_doas[ids].tolist())
         self._lib.sd_post_results(self._h, n, out_ids, out_doas)
         return n
+
+    def attach_shm(self, stream_id: int, name: str) -> None:
+        """Attach a co-located producer's shared-memory ring (created by
+        :class:`ShmStreamClient`) to a stream slot.  Skips the socket + kernel
+        copy tax of the TCP path: the producer memcpys into the ring and the
+        compute loop memcpys straight out of it."""
+        rc = self._lib.sd_shm_attach(self._h, stream_id, name.encode())
+        if rc != 0:
+            raise OSError(f"streamd: shm attach failed for slot {stream_id} ({name})")
+
+    def detach_shm(self, stream_id: int) -> None:
+        self._lib.sd_shm_detach(self._h, stream_id)
 
     def serve_forever(self):
         while not self._stop.is_set():
@@ -250,3 +285,92 @@ class StreamClient:
 
     def close(self):
         self.sock.close()
+
+
+class ShmStreamClient:
+    """Shared-memory producer for a co-located :class:`LocalizationServer`.
+
+    Creates a single-producer/single-consumer byte ring under ``/dev/shm``
+    (layout documented in native/streamd.cpp) and streams audio with plain
+    memcpy — no sockets, no kernel copies, no per-chunk syscalls.  Attach it
+    server-side with ``server.attach_shm(stream_id, client.name)``.
+
+    Note: position publication relies on the host's total-store-order
+    (x86) / naturally-aligned-store atomicity; the data bytes are written
+    before the position field in program order.
+    """
+
+    MAGIC = 0x484D5348  # "HMSH"
+    HDR = 64
+
+    def __init__(self, name: str, capacity_bytes: int = 1 << 22):
+        import mmap as mmap_mod
+
+        self.name = name
+        self.path = "/dev/shm/" + name
+        self.cap = int(capacity_bytes)
+        self._f = open(self.path, "w+b")
+        self._f.truncate(self.HDR + self.cap)
+        self.mm = mmap_mod.mmap(self._f.fileno(), self.HDR + self.cap)
+        self.mm[: self.HDR] = b"\x00" * self.HDR
+        struct.pack_into("<I", self.mm, 4, self.cap)
+        struct.pack_into("<I", self.mm, 0, self.MAGIC)  # magic last: ring valid
+        self._last_seq = 0
+
+    def _write_pos(self):
+        return struct.unpack_from("<Q", self.mm, 8)[0]
+
+    def _read_pos(self):
+        return struct.unpack_from("<Q", self.mm, 16)[0]
+
+    def send(self, chunk: np.ndarray, timeout: float = 30.0):
+        """Append a (T, M) block (dtype must match the server's wire_dtype).
+        Blocks (sleep-polls) while the ring is full — natural backpressure."""
+        import time
+
+        data = np.ascontiguousarray(chunk).tobytes()
+        n = len(data)
+        off = 0
+        deadline = time.monotonic() + timeout
+        while off < n:
+            wp = self._write_pos()
+            free = self.cap - (wp - self._read_pos())
+            if free == 0:
+                if time.monotonic() > deadline:
+                    raise TimeoutError("shm ring full: consumer not draining")
+                time.sleep(0.0002)
+                continue
+            take = min(free, n - off)
+            idx = int(wp % self.cap)
+            first = min(take, self.cap - idx)
+            self.mm[self.HDR + idx : self.HDR + idx + first] = data[off : off + first]
+            if first < take:
+                self.mm[self.HDR : self.HDR + take - first] = data[
+                    off + first : off + take
+                ]
+            struct.pack_into("<Q", self.mm, 8, wp + take)
+            off += take
+
+    def recv_doa(self, timeout: float = 30.0):
+        """Latest DoA result (seq-tagged slot; each result supersedes the
+        last).  Returns the radians value once a NEW result is posted."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while True:
+            seq = struct.unpack_from("<I", self.mm, 24)[0]
+            if seq != self._last_seq:
+                self._last_seq = seq
+                return struct.unpack_from("<f", self.mm, 28)[0]
+            if time.monotonic() > deadline:
+                raise TimeoutError("no shm result")
+            time.sleep(0.0002)
+
+    def close(self, unlink: bool = True):
+        self.mm.close()
+        self._f.close()
+        if unlink:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass

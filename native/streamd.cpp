@@ -30,10 +30,13 @@
 // slot is rejected.  A (re)claimed slot is reported once through
 // sd_take_resets so the compute loop zeroes that stream's carried state.
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/epoll.h>
+#include <sys/mman.h>
 #include <sys/socket.h>
+#include <sys/stat.h>
 #include <unistd.h>
 
 #include <algorithm>
@@ -45,6 +48,7 @@
 #include <cstring>
 #include <deque>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -53,11 +57,76 @@ namespace {
 
 constexpr uint32_t kMagic = 0x484D3234u;  // "HM24"
 
+// Backpressure: past this many queued chunks the stream's fd is dropped from
+// the epoll interest set (events=0 — HUP/ERR still delivered), so the
+// client's TCP window fills and the sender blocks instead of growing server
+// memory without bound.  Re-armed by the compute loop at half this depth.
+constexpr size_t kReadyHighWater = 16;
+
+// ---------------------------------------------------------------------------
+// Shared-memory transport: a co-located producer maps the same ring and
+// writes audio with plain memcpy — no socket syscalls, no kernel copies, no
+// reader thread.  Single-producer/single-consumer ring with monotonically
+// increasing byte positions (never wrapped values; index = pos % capacity):
+//
+//   offset  field                       owner
+//   0       u32 magic 0x484D5348 "HMSH" producer (set last, after init)
+//   4       u32 capacity (data bytes)   producer
+//   8       u64 write_pos               producer (release-stored)
+//   16      u64 read_pos                consumer (release-stored)
+//   24      u32 result_seq              consumer (incremented after doa)
+//   28      f32 result_doa              consumer
+//   32      u32 server_gen              consumer (attach generation)
+//   64      data[capacity]              shared
+//
+// Producer blocks (spins/sleeps) when the ring is full — natural
+// backpressure, the TCP path's deque cap is not needed here.
+constexpr uint32_t kShmMagic = 0x484D5348u;  // "HMSH"
+constexpr size_t kShmHdr = 64;
+
+struct ShmRing {
+  uint8_t* base = nullptr;
+  size_t map_len = 0;
+  uint32_t cap = 0;
+
+  uint64_t write_pos() const {
+    return __atomic_load_n(reinterpret_cast<const uint64_t*>(base + 8),
+                           __ATOMIC_ACQUIRE);
+  }
+  uint64_t read_pos() const {
+    return __atomic_load_n(reinterpret_cast<const uint64_t*>(base + 16),
+                           __ATOMIC_ACQUIRE);
+  }
+  void set_read_pos(uint64_t v) {
+    __atomic_store_n(reinterpret_cast<uint64_t*>(base + 16), v,
+                     __ATOMIC_RELEASE);
+  }
+  void post_result(float doa) {
+    std::memcpy(base + 28, &doa, 4);
+    uint32_t seq;
+    std::memcpy(&seq, base + 24, 4);
+    seq += 1;
+    __atomic_store_n(reinterpret_cast<uint32_t*>(base + 24), seq,
+                     __ATOMIC_RELEASE);
+  }
+  // copy one chunk out (chunk fully available by caller's check)
+  void take(uint8_t* dst, size_t n) {
+    const uint64_t rp = read_pos();
+    const size_t idx = static_cast<size_t>(rp % cap);
+    const size_t first = std::min(n, static_cast<size_t>(cap) - idx);
+    std::memcpy(dst, base + kShmHdr + idx, first);
+    if (first < n) std::memcpy(dst + first, base + kShmHdr, n - first);
+    set_read_pos(rp + n);
+  }
+};
+
 struct Stream {
   std::deque<std::vector<uint8_t>> ready;  // full chunks awaiting the batch loop
   std::vector<uint8_t> partial;            // tail of the last frame, < chunk
   int fd = -1;                           // live socket (results route here)
   bool reset_pending = false;            // new claim: zero carried state first
+  bool throttled = false;                // fd removed from epoll interest set
+  ShmRing shm;                           // shm transport when base != nullptr
 };
 
 // per-connection read state machine (epoll loop only — no locking needed)
@@ -83,28 +152,11 @@ struct Server {
   std::condition_variable ready_cv;
   std::vector<Stream> streams;
   uint32_t rr_cursor = 0;  // round-robin fairness across streams
+  std::atomic<uint32_t> n_shm{0};  // attached shm rings (poll instead of cv)
 
   std::unordered_map<int, Conn> conns;  // epoll thread only
   std::thread io_thread;
 };
-
-bool write_exact(int fd, const void* buf, size_t n) {
-  const auto* p = static_cast<const uint8_t*>(buf);
-  int spins = 0;
-  while (n > 0) {
-    ssize_t r = ::send(fd, p, n, MSG_NOSIGNAL);
-    if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
-      // nonblocking fd with a briefly-full buffer (results are 8 B; rare)
-      if (++spins > 1000) return false;
-      std::this_thread::sleep_for(std::chrono::microseconds(50));
-      continue;
-    }
-    if (r <= 0) return false;
-    p += r;
-    n -= static_cast<size_t>(r);
-  }
-  return true;
-}
 
 void close_conn(Server* s, int fd) {
   auto it = s->conns.find(fd);
@@ -112,7 +164,10 @@ void close_conn(Server* s, int fd) {
     const uint32_t id = it->second.id;
     if (id < s->max_streams) {
       std::lock_guard<std::mutex> lk(s->mu);
-      if (s->streams[id].fd == fd) s->streams[id].fd = -1;
+      if (s->streams[id].fd == fd) {
+        s->streams[id].fd = -1;
+        s->streams[id].throttled = false;
+      }
     }
     s->conns.erase(it);
   }
@@ -137,6 +192,16 @@ void ingest(Server* s, Conn& c, const uint8_t* data, size_t n) {
       s->ready_cv.notify_all();
       notified = true;
     }
+  }
+  // backpressure: a client outrunning the compute loop (one chunk per stream
+  // per step) stops being read once its queue is deep enough; its TCP window
+  // fills and the send side blocks instead of this deque growing unbounded
+  if (st.ready.size() >= kReadyHighWater && !st.throttled && st.fd >= 0) {
+    epoll_event ev{};
+    ev.events = 0;  // HUP/ERR still delivered; EPOLLIN re-armed on drain
+    ev.data.fd = st.fd;
+    ::epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, st.fd, &ev);
+    st.throttled = true;
   }
 }
 
@@ -169,11 +234,12 @@ void handle_readable(Server* s, int fd) {
         if (ok) {
           std::lock_guard<std::mutex> lk(s->mu);
           Stream& st = s->streams[id];
-          if (st.fd >= 0) {
-            ok = false;  // slot already live: reject the newcomer
+          if (st.fd >= 0 || st.shm.base) {
+            ok = false;  // slot already live (TCP or shm): reject
           } else {
             st.fd = fd;
             st.reset_pending = true;
+            st.throttled = false;
             st.partial.clear();
             st.ready.clear();
           }
@@ -298,19 +364,48 @@ void sd_set_window(void* h, uint32_t window_ms) {
 // data_out is the caller's persistent (max_streams, chunk) buffer: each
 // served chunk lands at row `stream_id` (slot-indexed, so the Python side
 // re-packs nothing); rows of unserved streams are left untouched.
-int sd_next_batch(void* h, uint32_t max_batch, uint32_t timeout_ms,
-                  uint32_t* ids_out, uint8_t* data_out) {
+// Full-fat batch call: additionally drains the pending-reset set ATOMICALLY
+// (same mutex hold as the chunk pops).  Because a (re)claim clears the
+// slot's queued data under that same mutex, every chunk this call returns
+// was ingested AFTER the most recent claim of its slot — so the caller can
+// zero reset slots' carried state and then process all returned chunks,
+// with no possibility of a dead predecessor's chunk feeding the successor
+// (nor of a successor's first chunk being mistaken for the predecessor's).
+int sd_next_batch_r(void* h, uint32_t max_batch, uint32_t timeout_ms,
+                    uint32_t* ids_out, uint8_t* data_out,
+                    uint32_t* reset_ids_out, int reset_cap,
+                    int* n_resets_out) {
   auto* s = static_cast<Server*>(h);
   std::unique_lock<std::mutex> lk(s->mu);
+  auto stream_has_chunk = [&](const Stream& st) -> bool {
+    if (!st.ready.empty()) return true;
+    if (st.shm.base)
+      return st.shm.write_pos() - st.shm.read_pos() >= s->chunk_bytes;
+    return false;
+  };
   auto count_ready = [&]() -> uint32_t {
     uint32_t c = 0;
     for (const auto& st : s->streams)
-      if (!st.ready.empty()) ++c;
+      if (stream_has_chunk(st)) ++c;
     return c;
   };
   auto any_ready = [&] { return s->stopping.load() || count_ready() > 0; };
+  // shm producers write with plain memcpy and never signal the cv, so with
+  // any ring attached the waits become short poll-sleeps instead
+  auto wait_any = [&](std::chrono::steady_clock::time_point deadline) {
+    while (!any_ready() && std::chrono::steady_clock::now() < deadline) {
+      if (s->n_shm.load() > 0) {
+        lk.unlock();
+        std::this_thread::sleep_for(std::chrono::microseconds(200));
+        lk.lock();
+      } else if (s->ready_cv.wait_until(lk, deadline) == std::cv_status::timeout) {
+        break;
+      }
+    }
+  };
   if (!any_ready())
-    s->ready_cv.wait_for(lk, std::chrono::milliseconds(timeout_ms), any_ready);
+    wait_any(std::chrono::steady_clock::now() +
+             std::chrono::milliseconds(timeout_ms));
   if (s->stopping.load()) return -1;
 
   // batching window: wait for the cohort to fill, bounded by window_ms
@@ -319,11 +414,29 @@ int sd_next_batch(void* h, uint32_t max_batch, uint32_t timeout_ms,
     auto deadline =
         std::chrono::steady_clock::now() + std::chrono::milliseconds(window_ms);
     uint32_t have = count_ready();
-    while (have < max_batch && have < s->max_streams && !s->stopping.load()) {
-      if (s->ready_cv.wait_until(lk, deadline) == std::cv_status::timeout)
+    while (have < max_batch && have < s->max_streams && !s->stopping.load() &&
+           std::chrono::steady_clock::now() < deadline) {
+      if (s->n_shm.load() > 0) {
+        lk.unlock();
+        std::this_thread::sleep_for(std::chrono::microseconds(200));
+        lk.lock();
+      } else if (s->ready_cv.wait_until(lk, deadline) == std::cv_status::timeout) {
         break;
+      }
       have = count_ready();
     }
+  }
+
+  // resets drained under the SAME mutex hold as the chunk pops (see above)
+  if (n_resets_out) {
+    int nr = 0;
+    for (uint32_t id = 0; id < s->max_streams && nr < reset_cap; ++id) {
+      if (s->streams[id].reset_pending) {
+        s->streams[id].reset_pending = false;
+        reset_ids_out[nr++] = id;
+      }
+    }
+    *n_resets_out = nr;
   }
 
   int n = 0;
@@ -331,15 +444,38 @@ int sd_next_batch(void* h, uint32_t max_batch, uint32_t timeout_ms,
   for (uint32_t k = 0; k < S && n < static_cast<int>(max_batch); ++k) {
     const uint32_t id = (s->rr_cursor + k) % S;
     Stream& st = s->streams[id];
+    uint8_t* row = data_out + static_cast<size_t>(id) * s->chunk_bytes;
+    if (st.shm.base) {
+      if (st.shm.write_pos() - st.shm.read_pos() < s->chunk_bytes) continue;
+      st.shm.take(row, s->chunk_bytes);
+      ids_out[n] = id;
+      ++n;
+      continue;
+    }
     if (st.ready.empty()) continue;
     ids_out[n] = id;
-    std::memcpy(data_out + static_cast<size_t>(id) * s->chunk_bytes,
-                st.ready.front().data(), s->chunk_bytes);
+    std::memcpy(row, st.ready.front().data(), s->chunk_bytes);
     st.ready.pop_front();
     ++n;
+    // low-water re-arm: resume reading a throttled stream once the compute
+    // loop has drained half the queue (level-triggered epoll fires
+    // immediately on the kernel-buffered bytes)
+    if (st.throttled && st.ready.size() <= kReadyHighWater / 2 && st.fd >= 0) {
+      epoll_event ev{};
+      ev.events = EPOLLIN;
+      ev.data.fd = st.fd;
+      ::epoll_ctl(s->epoll_fd, EPOLL_CTL_MOD, st.fd, &ev);
+      st.throttled = false;
+    }
   }
   s->rr_cursor = (s->rr_cursor + 1) % (S ? S : 1);
   return n;
+}
+
+int sd_next_batch(void* h, uint32_t max_batch, uint32_t timeout_ms,
+                  uint32_t* ids_out, uint8_t* data_out) {
+  return sd_next_batch_r(h, max_batch, timeout_ms, ids_out, data_out, nullptr,
+                         0, nullptr);
 }
 
 // Drain the set of slots whose carried state must be zeroed (new claims).
@@ -356,22 +492,114 @@ int sd_take_resets(void* h, uint32_t* ids_out, int cap) {
   return n;
 }
 
+// Post one DoA result per served stream.  Runs on the compute thread, so it
+// must never head-of-line block the serving cohort: a full socket buffer
+// drops the result immediately (every chunk's result supersedes the last —
+// the client keeps its running estimate fresh from later chunks).  Each send
+// happens while holding s->mu and after re-reading the slot's fd: close_conn
+// publishes fd=-1 under the same mutex BEFORE ::close(fd), so a result can
+// never land on a recycled fd number routed to a different connection.
 void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
                      const float* doas) {
   auto* s = static_cast<Server*>(h);
   for (uint32_t i = 0; i < n; ++i) {
-    int fd;
+    if (ids[i] >= s->max_streams) continue;
     {
       std::lock_guard<std::mutex> lk(s->mu);
-      if (ids[i] >= s->max_streams) continue;
-      fd = s->streams[ids[i]].fd;
+      Stream& st = s->streams[ids[i]];
+      if (st.shm.base) {  // shm transport: one seq-tagged slot, never blocks
+        st.shm.post_result(doas[i]);
+        continue;
+      }
     }
-    if (fd < 0) continue;
     uint8_t msg[8];
     std::memcpy(msg, &ids[i], 4);
     std::memcpy(msg + 4, &doas[i], 4);
-    write_exact(fd, msg, sizeof(msg));  // drop on failure; epoll reaps fd
+    size_t off = 0;
+    int spins = 0;
+    while (off < sizeof(msg)) {
+      std::unique_lock<std::mutex> lk(s->mu);
+      const int fd = s->streams[ids[i]].fd;
+      if (fd < 0) break;  // stream died; drop
+      const ssize_t r = ::send(fd, msg + off, sizeof(msg) - off,
+                               MSG_NOSIGNAL | MSG_DONTWAIT);
+      lk.unlock();
+      if (r > 0) {
+        off += static_cast<size_t>(r);
+        continue;
+      }
+      if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
+        if (off == 0) break;  // nothing written: drop whole result, no wait
+        // mid-message full buffer (rare: 8 B frames): bounded completion so
+        // the client's framing never desyncs; give up after ~2 ms
+        if (++spins > 40) break;
+        std::this_thread::sleep_for(std::chrono::microseconds(50));
+        continue;
+      }
+      break;  // hard error: epoll reaps the fd
+    }
   }
+}
+
+// Attach a shared-memory ring (created + initialized by the producer under
+// /dev/shm) to a stream slot.  The slot gets the same reclaim semantics as a
+// TCP claim: carried state is zeroed before its first chunk.  Returns 0 on
+// success, -1 on failure (bad ring, slot live on TCP, bad id).
+int sd_shm_attach(void* h, uint32_t stream_id, const char* name) {
+  auto* s = static_cast<Server*>(h);
+  if (stream_id >= s->max_streams) return -1;
+  std::string path = std::string("/dev/shm/") + name;
+  int fd = ::open(path.c_str(), O_RDWR);
+  if (fd < 0) return -1;
+  struct stat sb{};
+  if (::fstat(fd, &sb) != 0 || static_cast<size_t>(sb.st_size) < kShmHdr) {
+    ::close(fd);
+    return -1;
+  }
+  void* base = ::mmap(nullptr, sb.st_size, PROT_READ | PROT_WRITE, MAP_SHARED,
+                      fd, 0);
+  ::close(fd);  // mapping keeps the segment alive
+  if (base == MAP_FAILED) return -1;
+  auto* b = static_cast<uint8_t*>(base);
+  uint32_t magic, cap;
+  std::memcpy(&magic, b, 4);
+  std::memcpy(&cap, b + 4, 4);
+  if (magic != kShmMagic || cap == 0 ||
+      kShmHdr + static_cast<size_t>(cap) > static_cast<size_t>(sb.st_size) ||
+      cap < s->chunk_bytes) {
+    ::munmap(base, sb.st_size);
+    return -1;
+  }
+  std::lock_guard<std::mutex> lk(s->mu);
+  Stream& st = s->streams[stream_id];
+  if (st.fd >= 0) {  // slot live on TCP: reject
+    ::munmap(base, sb.st_size);
+    return -1;
+  }
+  if (st.shm.base) {  // re-attach: drop the old mapping
+    ::munmap(st.shm.base, st.shm.map_len);
+    s->n_shm.fetch_sub(1);
+  }
+  st.shm.base = b;
+  st.shm.map_len = static_cast<size_t>(sb.st_size);
+  st.shm.cap = cap;
+  st.reset_pending = true;
+  st.partial.clear();
+  st.ready.clear();
+  s->n_shm.fetch_add(1);
+  return 0;
+}
+
+int sd_shm_detach(void* h, uint32_t stream_id) {
+  auto* s = static_cast<Server*>(h);
+  if (stream_id >= s->max_streams) return -1;
+  std::lock_guard<std::mutex> lk(s->mu);
+  Stream& st = s->streams[stream_id];
+  if (!st.shm.base) return -1;
+  ::munmap(st.shm.base, st.shm.map_len);
+  st.shm = ShmRing{};
+  s->n_shm.fetch_sub(1);
+  return 0;
 }
 
 void sd_stop(void* h) {
@@ -379,6 +607,11 @@ void sd_stop(void* h) {
   s->stopping.store(true);
   s->ready_cv.notify_all();
   if (s->io_thread.joinable()) s->io_thread.join();
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    for (auto& st : s->streams)
+      if (st.shm.base) ::munmap(st.shm.base, st.shm.map_len);
+  }
   ::close(s->listen_fd);
   ::close(s->epoll_fd);
   delete s;

@@ -106,6 +106,80 @@ def test_apply_to_signal_framing(setup):
     assert out.shape == (4, len(doa_list))
 
 
+def test_music_noise_subspace_variant(setup):
+    """Beyond-parity true MUSIC (num_sources>=1): noise-subspace
+    pseudospectrum localizes a single source and separates two sources,
+    with sharper peaks than the reference-parity Bartlett path."""
+    geometry, music, freq_range, doa_list = setup
+    grid = music.doa_list
+    t = np.arange(0, 0.5, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    key = jax.random.PRNGKey(7)
+
+    # single source: pseudospectrum peak at the true DoA
+    aps = np.asarray(
+        music.apply_to_template(
+            (t, sig, 0.5), num_active_freq=1, duration_overlap=0.0,
+            num_fft_bin=2048, snr_db=10.0, key=key, num_sources=1,
+        )
+    ).mean(0)
+    est = grid[int(np.argmax(aps))]
+    assert np.rad2deg(np.arcsin(abs(np.sin(est - 0.5)))) < 4.0, est
+
+    # sharper than Bartlett: normalized pseudospectrum mass concentrates
+    bart = np.asarray(
+        music.apply_to_template(
+            (t, sig, 0.5), num_active_freq=1, duration_overlap=0.0,
+            num_fft_bin=2048, snr_db=10.0, key=key, num_sources=0,
+        )
+    ).mean(0)
+    frac_music = (aps / aps.max() > 0.5).mean()
+    frac_bart = (bart / bart.max() > 0.5).mean()
+    assert frac_music < frac_bart, (frac_music, frac_bart)
+
+    # two equal-power INCOHERENT sources at +-60 deg (independent bandlimited
+    # noise — same-frequency coherent tones give a rank-1 covariance and are
+    # a documented MUSIC failure mode, not a regression): S=2 resolves both
+    from scipy.signal import butter as sp_butter, lfilter as sp_lfilter
+
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+
+    rng = np.random.default_rng(0)
+    bb, ba = sp_butter(2, list(freq_range), btype="bandpass", fs=FS)
+    src1 = sp_lfilter(bb, ba, rng.standard_normal(len(t)))
+    src2 = sp_lfilter(bb, ba, rng.standard_normal(len(t)))
+    src1 /= np.abs(src1).max()
+    src2 /= np.abs(src2).max()
+    d1, d2 = np.pi / 3, -np.pi / 3
+    s1 = np.asarray(signal_from_template(geometry, t, src1, d1, fs=FS))
+    s2 = np.asarray(signal_from_template(geometry, t, src2, d2, fs=FS))
+    mix = s1 + s2 + 0.01 * rng.standard_normal(s1.shape)
+    aps2 = np.asarray(
+        music.apply_to_signal(
+            jnp.asarray(mix), num_active_freq=1, duration_overlap=0.0,
+            num_fft_bin=2048, num_sources=2,
+        )
+    ).mean(0)
+    # the two largest well-separated maxima cover both true DoAs under the
+    # reference's folded metric arcsin|sin| (which also folds the ring
+    # array's antipodal ambiguity — see tests/test_beamformer.py notes)
+    order = np.argsort(aps2)[::-1]
+    picks = []
+    for i in order:
+        if all(abs(np.arcsin(abs(np.sin(grid[i] - grid[j])))) > 0.3 for j in picks):
+            picks.append(i)
+        if len(picks) == 2:
+            break
+    ests = grid[picks]
+    for true in (d1, d2):
+        best = min(np.rad2deg(np.arcsin(abs(np.sin(e - true)))) for e in ests)
+        assert best < 6.0, (sorted(ests), d1, d2)
+
+    # parameter validation
+    with pytest.raises(ValueError, match="num_sources"):
+        music.beamforming(jnp.zeros((2048, 7)), 1, 2048, num_sources=7)
+
+
 def test_music_doa_estimation(setup):
     geometry, music, freq_range, doa_list = setup
     grid = music.doa_list

@@ -94,6 +94,37 @@ def test_rzcc_encode_fully_fused_matches_xla():
             )
 
 
+def test_rzcc_encode_fused_large_window_single_round():
+    """Regression: when the 2-round halo margin exceeds the time block TB the
+    fused encoder must drop to ONE in-kernel round (a clamped halo would
+    finalize wrong kept bits that the fallback loop cannot undo) and still
+    match the XLA reference exactly via the fallback rounds."""
+    from haghighatshoarmuir2024_tpu.ops.peaks import local_extrema_mask_bounded
+    from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (
+        TB,
+        _margin,
+        rzcc_encode_bipolar_tm,
+    )
+
+    d, W = 300, 24  # w = 299: 2-round margin 1833 > TB=1536, 1-round 933 fits
+    w = d - 1
+    assert _margin(w, W, rounds=2) > TB >= _margin(w, W, rounds=1)
+
+    rng = np.random.default_rng(17)
+    # slow drift + noise => widely-spaced extrema whose suppression chains
+    # cross the TB block boundary (T spans 3 blocks)
+    t = np.arange(4000, dtype=np.float32)
+    cs = np.cumsum(
+        np.sin(2 * np.pi * t / 900.0)[None, :]
+        + 0.3 * rng.standard_normal((3, 4000)).astype(np.float32),
+        axis=-1,
+    )
+    maxima, minima = local_extrema_mask_bounded(jnp.asarray(cs), W)
+    kp, kn = rzcc_encode_bipolar_tm(jnp.asarray(cs.T), d, W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(kp).T, xla_ref(np.asarray(maxima), cs, d))
+    np.testing.assert_array_equal(np.asarray(kn).T, xla_ref(np.asarray(minima), -cs, d))
+
+
 def test_rzcc_bipolar_fused_matches_xla():
     from haghighatshoarmuir2024_tpu.ops.peaks import local_extrema_mask_bounded
     from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (

@@ -10,7 +10,11 @@ import pytest
 from haghighatshoarmuir2024_tpu import CenterCircularArray
 from haghighatshoarmuir2024_tpu.models.xylo import Demo
 from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
-from haghighatshoarmuir2024_tpu.runtime.server import LocalizationServer, StreamClient
+from haghighatshoarmuir2024_tpu.runtime.server import (
+    LocalizationServer,
+    ShmStreamClient,
+    StreamClient,
+)
 
 FS = 48_000
 
@@ -66,6 +70,42 @@ def test_server_two_streams_localize(demo):
             assert _folded_deg(got[sid], d_true) < 25.0, (sid, got[sid], d_true)
         for c in clients.values():
             c.close()
+
+
+def test_server_shm_stream_localizes(demo):
+    """The shared-memory ingestion path (ring under /dev/shm, zero sockets)
+    serves the same answers as TCP, and mixes with TCP streams in one cohort."""
+    import os
+
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    with LocalizationServer(demo, max_streams=4, chunk_sec=chunk_sec) as srv:
+        srv.start()
+        shm = ShmStreamClient(f"hm2024_test_shm_{os.getpid()}")
+        srv.attach_shm(1, shm.name)
+        tcp = StreamClient(srv.port, 3)
+        sig_shm = _stream_signal(demo, 0.7, 3 * chunk_sec, seed=5)
+        sig_tcp = _stream_signal(demo, -1.4, 3 * chunk_sec, seed=6)
+        got_shm = got_tcp = None
+        for k in range(3):
+            shm.send(sig_shm[k * Tc : (k + 1) * Tc])
+            tcp.send(sig_tcp[k * Tc : (k + 1) * Tc])
+            got_shm = shm.recv_doa(timeout=300.0)
+            _, got_tcp = tcp.recv_doa(timeout=300.0)
+        assert _folded_deg(got_shm, 0.7) < 25.0, got_shm
+        assert _folded_deg(got_tcp, -1.4) < 25.0, got_tcp
+        # slot conflict: a TCP hello on the shm-attached slot is rejected
+        import socket as socket_mod
+        import struct as struct_mod
+
+        s = socket_mod.create_connection(("127.0.0.1", srv.port))
+        s.sendall(struct_mod.pack("<II", 0x484D3234, 1))
+        s.settimeout(5.0)
+        assert s.recv(1) == b""  # server closes the rejected connection
+        s.close()
+        srv.detach_shm(1)
+        tcp.close()
+        shm.close()
 
 
 def test_server_slot_reset_on_reconnect(demo):

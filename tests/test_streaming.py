@@ -67,6 +67,77 @@ def test_streaming_spikes_match_offline(demo):
     assert mism.size == 0, f"{mism.size} mismatching timesteps, first at {mism[:5]}"
 
 
+def test_streaming_seam_divergence_contained(demo):
+    """The documented RZCC seam failure mode (runtime/streaming.py:16-22):
+    suppression chains longer than the pending window are the ONLY divergence
+    from the offline encoder, and it stays contained to the chain.
+
+    Construction: an amplitude-ramped 4.8 kHz tone (above the 1600-1900 Hz
+    band, attenuated but passed by the order-1 bandpass) gives integrated-
+    signal peaks every ~10 samples — closer than robust_width — with
+    monotonically ascending heights.  Greedy distance suppression then anchors
+    at the ramp's END and propagates right-to-left through the whole ramp
+    (~0.2 s >> pending window), so the streaming encoder — which must commit
+    decisions causally at each chunk seam — cannot reproduce the offline
+    decisions inside the chain.  The test asserts BOTH directions:
+
+      * the pathological chain actually diverges (the failure mode is real,
+        not hypothetical), and
+      * every mismatch lies inside the chain region + a small margin; the
+        benign in-band tone before and after the ramp decides EXACTLY as
+        offline (divergence does not leak into decided benign prefixes).
+    """
+    sl = StreamingLocalizer(demo)
+    P, K, rw = sl.pending, sl.K, sl.rw
+    assert rw > 10, "construction needs 4.8 kHz peak spacing < robust_width"
+
+    T = 24_000  # 0.5 s
+    t = np.arange(T) / FS
+    ramp_lo, ramp_hi = 12_000, 21_600  # 0.2 s of pathological chain
+    sig1 = np.sin(2 * np.pi * 1750 * t)  # benign in-band tone
+    # the pathological segment REPLACES the tone: integrated-signal maxima
+    # come only from the ramped above-band tone, every ~10 samples, ascending
+    sig1[ramp_lo:ramp_hi] = np.linspace(0.5, 3.0, ramp_hi - ramp_lo) * np.sin(
+        2 * np.pi * 4800 * t[ramp_lo:ramp_hi]
+    )
+    rng = np.random.default_rng(3)
+    sig = (
+        np.repeat(sig1[:, None], len(demo.geometry), axis=1)
+        + 1e-4 * rng.standard_normal((T, len(demo.geometry)))
+    ).astype(np.float32)
+
+    state = sl.init_state()
+    outs = []
+    Tc = T // 5  # seams at 4800k — two fall inside the ramp
+    for k in range(5):
+        state, spikes = sl.process_chunk(state, sig[k * Tc : (k + 1) * Tc])
+        outs.append(np.asarray(spikes))
+    stream_spikes = np.concatenate(outs, axis=0)
+
+    offline = np.asarray(demo.spike_encoding(sig))
+
+    a = stream_spikes[P:]
+    b = offline[: a.shape[0]]
+    settle = 10 * K  # offline np.roll start-of-stream transient (see above)
+    mism = np.flatnonzero(np.any(a != b, axis=1))
+    mism = mism[mism >= settle]
+
+    # 1) the pathological chain genuinely diverges
+    assert mism.size > 0, "pathological chain failed to trigger any divergence"
+    # 2) containment: every mismatch inside the chain region (+ margin for
+    #    chain run-off and the bandpass ring-down at the ramp edges)
+    margin = 8 * rw
+    lo, hi = ramp_lo - margin, ramp_hi + margin
+    outside = mism[(mism < lo) | (mism >= hi)]
+    assert outside.size == 0, (
+        f"{outside.size} divergent timesteps leaked outside the chain "
+        f"region [{lo}, {hi}): first at {outside[:5]}"
+    )
+    # 3) the benign prefix/suffix decide exactly as offline
+    np.testing.assert_array_equal(a[settle:lo], b[settle:lo])
+    np.testing.assert_array_equal(a[hi:], b[hi:])
+
+
 def test_streaming_state_carries_lif_exactly(demo):
     """Feeding the same decided spikes through the offline simulator must give
     the same hidden counts as the streaming accumulation."""

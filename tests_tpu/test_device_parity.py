@@ -1,0 +1,194 @@
+"""Compiled-path parity on the real TPU.
+
+Every benchmark number in RESULTS.md rests on the compiled (non-interpret)
+Pallas kernels; pytest's CPU suite can only reach them in interpret mode.
+This suite codifies the on-chip checks as test artifacts:
+
+  * integer LIF count kernel (normal + saturating + bipolar + carried state)
+    vs the lax.scan simulator — bit-exact;
+  * fused suppression / RZCC encode kernels vs their XLA reference
+    formulations — bit-exact;
+  * the end-to-end ``forward_batch`` rate profile vs a fresh CPU-backend
+    process driving the SAME saved model — tolerance parity (float encode
+    differs across backends at ULP level; a handful of spike decisions may
+    flip out of ~thousands).
+"""
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+from test_pallas_lif import make_config, make_spikes, scan_counts  # noqa: E402
+
+from haghighatshoarmuir2024_tpu.ops.pallas.lif_kernel import (  # noqa: E402
+    lif_count_rates,
+    lif_count_rates_bipolar,
+    lif_count_stateful,
+)
+from haghighatshoarmuir2024_tpu.ops.peaks import (  # noqa: E402
+    local_extrema_mask_bounded,
+    local_maxima_mask,
+    select_by_distance,
+)
+from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (  # noqa: E402
+    rzcc_encode_bipolar_tm,
+    select_by_distance_tm,
+)
+
+
+# --------------------------------------------------------------- LIF kernels
+def test_lif_count_compiled_matches_scan():
+    for seed, rec_coef in ((41, -2), (42, 0), (43, -1)):
+        config = make_config(seed, rec_coef=rec_coef)
+        spikes = make_spikes(seed, B=4, T=100)
+        got = np.asarray(lif_count_rates(config, spikes, time_chunk=32))
+        np.testing.assert_array_equal(got, scan_counts(config, spikes))
+
+
+def test_lif_count_compiled_saturating_matches_scan():
+    config = make_config(11, w_scale=5000)
+    config.threshold[:] = 25_000
+    spikes = make_spikes(11, p=0.9, max_count=3)
+    got = np.asarray(lif_count_rates(config, spikes, time_chunk=32))
+    np.testing.assert_array_equal(got, scan_counts(config, spikes))
+    assert got.sum() > 0  # the saturating regime actually fired
+
+
+def test_lif_count_bipolar_compiled_matches_scan():
+    # B=3 and B=17 regress the Mosaic int8 shape-cast landmine: the kernel
+    # only lowers for B % 4 == 0 (or 1), so the wrapper pads the batch with
+    # inert zero-spike rows — results must stay bit-exact
+    rng = np.random.default_rng(47)
+    C, T = 6, 96
+    config = make_config(47, C=2 * C, rec_coef=-1, w_scale=30)
+    for B in (3, 4, 17):
+        kp = (rng.random((T, B, C)) < 0.2).astype(np.int8)
+        kn = (rng.random((T, B, C)) < 0.2).astype(np.int8)
+        got = np.asarray(
+            lif_count_rates_bipolar(config, jnp.asarray(kp), jnp.asarray(kn), time_chunk=32)
+        )
+        pos = (kp & (1 - kn)).astype(np.int32)
+        enc_btc = np.concatenate([pos, kn.astype(np.int32)], axis=-1).transpose(1, 0, 2)
+        np.testing.assert_array_equal(got, scan_counts(config, enc_btc))
+
+
+def test_lif_stateful_compiled_chunked_equals_full():
+    config = make_config(53, rec_coef=-2)
+    B, N = 3, config.n_hidden
+    spikes = make_spikes(53, T=96)
+    state = tuple(jnp.zeros((B, N), jnp.int32) for _ in range(3))
+    total = np.zeros((B, N), np.int64)
+    for part in np.split(spikes, [40, 64], axis=1):  # ragged: 40 + 24 + 32
+        counts, *state = lif_count_stateful(config, jnp.asarray(part), *state, time_chunk=32)
+        total += np.asarray(counts)
+    np.testing.assert_array_equal(total, scan_counts(config, spikes))
+
+
+# ------------------------------------------------------- suppression kernels
+def test_select_by_distance_compiled_matches_xla():
+    rng = np.random.default_rng(3)
+    x = np.cumsum(rng.standard_normal((5, 2050)).astype(np.float32), axis=-1)
+    cand = np.asarray(local_maxima_mask(jnp.asarray(x)))
+    for d in (3, 13):
+        ref = np.asarray(select_by_distance(jnp.asarray(cand), jnp.asarray(x), d))
+        got = np.asarray(
+            select_by_distance_tm(jnp.asarray(cand.T), jnp.asarray(x.T), d)
+        ).T
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_rzcc_encode_bipolar_compiled_matches_xla():
+    rng = np.random.default_rng(7)
+    cs = np.cumsum(rng.standard_normal((6, 4000)).astype(np.float32), axis=-1)
+    cs[:, 500:504] = cs[:, 500:501]  # exact plateau
+    d, W = 13, 26
+    maxima, minima = local_extrema_mask_bounded(jnp.asarray(cs), W)
+    ref_p = np.asarray(select_by_distance(maxima, jnp.asarray(cs), d))
+    ref_n = np.asarray(select_by_distance(minima, jnp.asarray(-cs), d))
+    kp, kn = rzcc_encode_bipolar_tm(jnp.asarray(cs.T), d, W)
+    np.testing.assert_array_equal(np.asarray(kp).T, ref_p)
+    np.testing.assert_array_equal(np.asarray(kn).T, ref_n)
+
+
+# --------------------------------------------------- end-to-end device parity
+_CPU_RATES_SCRIPT = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from haghighatshoarmuir2024_tpu.models.xylo import Demo
+demo = Demo.load({model!r})
+sig = np.load({sig!r})
+doa, rate = demo.forward_batch(sig, method="peak")
+np.save({out!r}, np.asarray(rate, np.float32))
+"""
+
+
+def test_forward_batch_rate_profile_parity_vs_cpu():
+    """The full encode→SNN→rate chain on the TPU (compiled Pallas kernels)
+    matches a fresh CPU process (scan/XLA fallbacks) driving the SAME saved
+    model, to rate-profile tolerance.  Codifies RESULTS.md's
+    'device-parity-checked' claim as a test artifact."""
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.models.xylo import Demo
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+
+    fs = 48_000
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    demo = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900]],
+        doa_list=np.linspace(-np.pi, np.pi, 57),
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=fs,
+        design_chunk=8,
+    )
+    t = np.arange(0, 0.1, 1 / fs)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    rng = np.random.default_rng(0)
+    batch = np.stack(
+        [
+            np.asarray(signal_from_template(geometry, t, sig, doa, fs=fs), np.float32)
+            + 0.05 * rng.standard_normal((len(t), 7)).astype(np.float32)
+            for doa in (0.6, -1.2)
+        ]
+    )
+
+    doa_tpu, rate_tpu = demo.forward_batch(jnp.asarray(batch), method="peak")
+    rate_tpu = np.asarray(rate_tpu, np.float32)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as td:
+        model = os.path.join(td, "model.npz")
+        sig_p = os.path.join(td, "sig.npy")
+        out = os.path.join(td, "rate_cpu.npy")
+        demo.save(model)
+        np.save(sig_p, batch)
+        code = _CPU_RATES_SCRIPT.format(repo=repo, model=model, sig=sig_p, out=out)
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rate_cpu = np.load(out)
+
+    assert rate_tpu.shape == rate_cpu.shape
+    # normalized rate-profile distance: a handful of flipped spike decisions
+    # (float encode differs at ULP level across backends) out of ~thousands
+    denom = np.maximum(np.linalg.norm(rate_cpu, axis=-1), 1e-9)
+    rel = np.linalg.norm(rate_tpu - rate_cpu, axis=-1) / denom
+    assert np.all(rel < 0.05), rel
+    # and the argmax DoA picks agree within one grid step
+    i_t = rate_tpu.argmax(axis=-1)
+    i_c = rate_cpu.argmax(axis=-1)
+    assert np.all(np.abs(i_t - i_c) <= 1), (i_t, i_c)
