@@ -91,8 +91,14 @@ def speech_template(duration: Optional[float] = None, fs: float = FS):
 
         b, a = butter_bandpass(2, (300, 3400), fs)
         sig = np.asarray(iir_filter(b, a, jnp.asarray(glottal * syllable), axis=0, method="scan"))
-    if duration is not None:
-        sig = sig[: int(duration * fs)]
+    if duration is not None and len(sig) > int(duration * fs):
+        # truncation picks the HIGHEST-ENERGY window of the sample, not the
+        # head — the LibriSpeech recording opens with silence, and a silent
+        # template synthesizes a zero array signal
+        n = int(duration * fs)
+        e = np.concatenate([[0.0], np.cumsum(np.asarray(sig, np.float64) ** 2)])
+        start = int(np.argmax(e[n:] - e[:-n]))
+        sig = sig[start : start + n]
     t = np.arange(len(sig)) / fs
     sig = sig / (np.abs(sig).max() + 1e-12)
     return t, sig

@@ -43,6 +43,12 @@ def main():
     freq_bands = [[1600.0, 2000.0], [2000.0, 2300.0], [2300.0, 2600.0]]
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
 
+    # enforce_hw_limits=False: 3 bands x 449 grid = 1347 hidden neurons,
+    # beyond the 1000-neuron Xylo-A2 chip — which is exactly why the
+    # reference's live benchmark ran ONE band at a time
+    # (snn_localization_benchmark.py:556-562, two bands commented out).  The
+    # TPU integer simulator has no neuron-count limit, so the full 3-band
+    # network runs as a software deployment.
     t0 = time.time()
     demo = Demo(
         geometry=geometry,
@@ -52,6 +58,7 @@ def main():
         kernel_duration=10e-3,
         bipolar_spikes=True,
         fs=FS,
+        enforce_hw_limits=False,
     )
     design_time = time.time() - t0
 

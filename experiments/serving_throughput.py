@@ -191,6 +191,8 @@ def daemon_main(
             for c in clients:
                 sid, doa = c.recv_doa(timeout=600.0)
                 got[sid] = doa
+        # drop the warm-up round's compile time from the stage attribution
+        srv.stage_times.update({"wait": 0.0, "device": 0.0, "route": 0.0, "steps": 0})
 
         t0 = time.time()
         for _ in range(n_steps):
@@ -207,6 +209,7 @@ def daemon_main(
         ests = np.array([got[i] for i in range(batch)])
         err = np.abs(np.arcsin(np.abs(np.sin(ests - doas))))
         ok = float(np.mean(np.rad2deg(err) < 5.0))
+        st = dict(srv.stage_times)
         for i, c in enumerate(clients):
             if use_shm:
                 srv.detach_shm(i)
@@ -219,6 +222,12 @@ def daemon_main(
         "streams": batch,
         "doa-ok-frac@5deg": ok,
     }
+    if st["steps"]:
+        metrics["stage-ms"] = {
+            k: round(v / st["steps"] * 1000, 1)
+            for k, v in st.items() if k != "steps"
+        }
+        metrics["stage-steps"] = st["steps"]
     print(json.dumps(metrics))
     return metrics
 

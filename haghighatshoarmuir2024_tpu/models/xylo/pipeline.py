@@ -154,6 +154,7 @@ class Demo:
         target_dt: float = 1e-3,
         design_chunk: int = 32,
         use_cache: bool = True,
+        enforce_hw_limits: bool = True,
     ):
         self.geometry = geometry
         self.freq_bands = np.atleast_2d(np.asarray(freq_bands, dtype=np.float64))
@@ -162,6 +163,13 @@ class Demo:
         self.kernel_duration = kernel_duration
         self.bipolar_spikes = bool(bipolar_spikes)
         self.xylosim_version = bool(xylosim_version)
+        # ``enforce_hw_limits=False`` waives the Xylo-A2 chip RESOURCE caps
+        # (hidden-neuron count; the reference's own live benchmark runs ONE
+        # band at a time because 3 bands x 449 grid exceeds the 1000-neuron
+        # chip, snn_localization_benchmark.py:556-562) — the TPU integer
+        # simulator has no such limit, so larger-than-chip deployments run as
+        # software.  Numeric quantization-range checks remain fatal.
+        self.enforce_hw_limits = bool(enforce_hw_limits)
         self.fs = fs
         self.dt = 1.0 / fs
 
@@ -253,7 +261,9 @@ class Demo:
         )
         self.xylo_config = global_quantize(self.spec)
         problems = validate_config(
-            self.xylo_config, hardware=not self.xylosim_version
+            self.xylo_config,
+            hardware=not self.xylosim_version,
+            resource_limits=getattr(self, "enforce_hw_limits", True),
         )
         if problems:
             if self.xylosim_version:

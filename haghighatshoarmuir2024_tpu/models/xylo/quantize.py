@@ -114,21 +114,26 @@ def global_quantize(spec: XyloSpec) -> XyloConfig:
 
 
 def validate_config(
-    config: XyloConfig, hardware: bool = False, enforce_fan_out: bool = False
+    config: XyloConfig, hardware: bool = False, enforce_fan_out: bool = False,
+    resource_limits: bool = True,
 ) -> List[str]:
     """Check the configuration against Xylo-A2 resource constraints.
 
     Returns a list of human-readable violation messages (empty = valid).
     ``hardware=True`` additionally applies the XyloSamna-only limits
     (micloc/xylo_snn_localization.py:596-601); the software simulator is
-    unconstrained there, matching XyloSim.
+    unconstrained there, matching XyloSim.  ``resource_limits=False`` skips
+    the chip RESOURCE caps (hidden-neuron count) while keeping the numeric
+    quantization-range checks — the TPU simulator has no neuron-count limit,
+    so configurations beyond the physical chip (e.g. 3 bands x 449-grid) can
+    run as software deployments (a documented beyond-reference capability).
     """
     problems = []
     w_limit = 2 ** (WEIGHT_BITS - 1) - 1
     for name, w in (("w_in", config.w_in), ("w_rec", config.w_rec), ("w_out", config.w_out)):
         if np.abs(w).max(initial=0) > w_limit:
             problems.append(f"{name} exceeds the {WEIGHT_BITS}-bit weight range")
-    if config.n_hidden > MAX_HIDDEN_NEURONS:
+    if resource_limits and config.n_hidden > MAX_HIDDEN_NEURONS:
         problems.append(
             f"{config.n_hidden} hidden neurons exceed the Xylo-A2 limit of {MAX_HIDDEN_NEURONS}"
         )

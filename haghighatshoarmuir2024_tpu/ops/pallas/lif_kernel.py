@@ -33,6 +33,19 @@ _STATE_MIN = -(2**15)
 _STATE_MAX = 2**15 - 1
 
 
+def _fit_time_chunk(tc: int, B: int, N_pad: int, n_state: int = 4) -> int:
+    """Largest power-of-two time chunk <= ``tc`` whose scratch footprint —
+    the (TC*B, N_pad) int32 projected-input buffer plus ``n_state`` (B,
+    N_pad) int32 state planes — fits the 16 MB scoped-VMEM cap with headroom
+    for in/out blocks, weights and compiler temporaries.  Wide networks
+    (e.g. 3 bands x 449 grid = N_pad 1408) OOM at the default TC=32;
+    halving TC trades a little grid overhead for fitting."""
+    budget = 13 * 2**20 - n_state * B * N_pad * 4
+    while tc > 4 and tc * B * N_pad * 4 > budget:
+        tc //= 2
+    return max(tc, 4)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -153,9 +166,9 @@ def _lif_count_impl(spikes_tbc, w_in, dash_syn, dash_mem, threshold, rec_coef, t
                     interpret: bool = False, int8_mm: bool = True, no_sat: bool = False):
     T, B, C = spikes_tbc.shape
     N = w_in.shape[1]
-    TC = time_chunk
-    T_pad = _round_up(T, TC)
     N_pad = _round_up(N, 128)
+    TC = _fit_time_chunk(time_chunk, B, N_pad)
+    T_pad = _round_up(T, TC)
     C_pad = _round_up(C, 128)
 
     spikes_tbc = jnp.pad(spikes_tbc, ((0, T_pad - T), (0, 0), (0, C_pad - C)))
@@ -349,9 +362,9 @@ def _lif_count_bipolar_impl(kp_tbc, kn_tbc, w_in, dash_syn, dash_mem, threshold,
                             int8_mm: bool = True, no_sat: bool = False):
     T, B, C = kp_tbc.shape
     N = w_in.shape[1]
-    TC = time_chunk
-    T_pad = _round_up(T, TC)
     N_pad = _round_up(N, 128)
+    TC = _fit_time_chunk(time_chunk, B, N_pad)
+    T_pad = _round_up(T, TC)
 
     dt = jnp.int8 if int8_mm else jnp.float32
     kp_tbc = jnp.pad(kp_tbc.astype(jnp.int8), ((0, T_pad - T), (0, 0), (0, 0)))
@@ -545,9 +558,9 @@ def _lif_count_bipolar_stateful_impl(
 ):
     T, B, C = kp_tbc.shape
     N = w_in.shape[1]
-    TC = time_chunk
-    T_pad = _round_up(T, TC)
     N_pad = _round_up(N, 128)
+    TC = _fit_time_chunk(time_chunk, B, N_pad)
+    T_pad = _round_up(T, TC)
 
     dt = jnp.int8 if int8_mm else jnp.float32
     kp_tbc = jnp.pad(kp_tbc.astype(jnp.int8), ((0, T_pad - T), (0, 0), (0, 0)))
@@ -733,9 +746,9 @@ def _lif_count_stateful_impl(
 ):
     T, B, C = spikes_tbc.shape
     N = w_in.shape[1]
-    TC = time_chunk
-    T_pad = _round_up(T, TC)
     N_pad = _round_up(N, 128)
+    TC = _fit_time_chunk(time_chunk, B, N_pad)
+    T_pad = _round_up(T, TC)
     C_pad = _round_up(C, 128)
 
     spikes_tbc = jnp.pad(spikes_tbc, ((0, T_pad - T), (0, 0), (0, C_pad - C)))

@@ -126,6 +126,10 @@ class LocalizationServer:
         self._reset_buf = (ctypes.c_uint32 * self.B)()
         self._n_resets = ctypes.c_int(0)
         self._data_buf = np.zeros((self.B, self.Tc, self.M), np_dt)
+        # opt-in per-stage timing (HM2024_SERVE_TIMING=1): cumulative seconds
+        # per step() stage, for attributing end-to-end serving wall time
+        self.stage_times = {"wait": 0.0, "device": 0.0, "route": 0.0, "steps": 0}
+        self._timing = os.environ.get("HM2024_SERVE_TIMING") == "1"
         self._state = self.sl.init_state(batch=self.B)
         self._build_jits()
 
@@ -191,17 +195,23 @@ class LocalizationServer:
         # FIRST, then process all returned chunks — a new claimant's first
         # chunk runs against fresh state, and a dead predecessor's chunk can
         # never reach the successor's state (or vice versa).
+        import time as _time
+
+        t0 = _time.monotonic() if self._timing else 0.0
         n = self._lib.sd_next_batch_r(
             self._h, self.B, timeout_ms, self._ids_buf,
             self._data_buf.ctypes.data_as(ctypes.c_void_p),
             self._reset_buf, self.B, ctypes.byref(self._n_resets),
         )
+        t1 = _time.monotonic() if self._timing else 0.0
         n_reset = self._n_resets.value
         if n_reset > 0:
             mask = np.zeros(self.B, bool)
             mask[np.ctypeslib.as_array(self._reset_buf)[:n_reset]] = True
             self._state = self._reset(self._state, jnp.asarray(mask))
         if n <= 0:
+            if self._timing:
+                self.stage_times["wait"] += t1 - t0
             return 0
         ids = np.ctypeslib.as_array(self._ids_buf)[:n].copy()
         active = np.zeros(self.B, bool)
@@ -216,9 +226,16 @@ class LocalizationServer:
         )
         self._state = self._merge(new_state, self._state, jnp.asarray(active))
         all_doas = np.asarray(self._doas(self._state), np.float32)
+        t2 = _time.monotonic() if self._timing else 0.0
         out_ids = (ctypes.c_uint32 * n)(*ids.tolist())
         out_doas = (ctypes.c_float * n)(*all_doas[ids].tolist())
         self._lib.sd_post_results(self._h, n, out_ids, out_doas)
+        if self._timing:
+            t3 = _time.monotonic()
+            self.stage_times["wait"] += t1 - t0
+            self.stage_times["device"] += t2 - t1
+            self.stage_times["route"] += t3 - t2
+            self.stage_times["steps"] += 1
         return n
 
     def attach_shm(self, stream_id: int, name: str) -> None:

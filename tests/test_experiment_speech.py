@@ -1,0 +1,61 @@
+"""Small-grid regression of the speech-target harness
+(experiments/target_xylo_localization.py --speech, twin of
+paper_plots/target_xylo_localization.py:123-394): the three-stage run —
+fixed-DoA beam profiles, multi-estimator MC sweep, calibration-robustness
+table — completes on a tiny config and produces sane, finite metrics."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "experiments"),
+)
+
+
+@pytest.fixture(scope="module")
+def speech_results():
+    import target_xylo_localization as m
+
+    return m.run_speech(num_sims=2, num_grid=28, duration=0.2, batch_size=2)
+
+
+def test_speech_beam_profiles(speech_results):
+    beam = speech_results["beam_profiles"]
+    assert set(beam) == {"-10dB", "+0dB", "+10dB", "+20dB"}
+    for v in beam.values():
+        assert len(v["profile"]) == 28
+        # normalized rate profile; a silent regime (tiny 0.2 s config at
+        # -10 dB can fire zero spikes) legitimately stays all-zero
+        assert 0.0 <= max(v["profile"]) <= 1.0
+        for k in ("peak_err_deg", "matched_tone_err_deg", "matched_speech_err_deg"):
+            assert np.isfinite(v[k]) and 0 <= v[k] <= 90
+    assert np.isclose(max(beam["+20dB"]["profile"]), 1.0)
+    # at high SNR the speech-calibrated matched estimator localizes the
+    # fixed doa=0 target within a few grid steps (grid step ~13 deg here)
+    assert beam["+20dB"]["matched_speech_err_deg"] <= 30.0
+
+
+def test_speech_mc_sweep_shape(speech_results):
+    mc = speech_results["speech_mc"]
+    assert len(mc["snr_db"]) == 11
+    for lab in ("reference_peak", "matched_tone_cal", "matched_speech_cal"):
+        assert len(mc[lab]["mae_deg"]) == 11
+        assert all(np.isfinite(v) and 0 <= v <= 90 for v in mc[lab]["mae_deg"])
+
+
+def test_calibration_robustness_table(speech_results):
+    rob = speech_results["calibration_robustness"]
+    assert set(rob) == {"tone", "chirp", "speech"}
+    for v in rob.values():
+        assert v["snr_db"] == [-10.0, 0.0, 10.0, 20.0]
+        for k in (
+            "reference_peak_mae_deg",
+            "matched_tone_cal_mae_deg",
+            "matched_self_cal_mae_deg",
+        ):
+            assert all(np.isfinite(x) for x in v[k])
+    # self-calibration on the tone IS the tone calibration: identical columns
+    assert rob["tone"]["matched_tone_cal_mae_deg"] == rob["tone"]["matched_self_cal_mae_deg"]

@@ -6,11 +6,10 @@ golden tests validate.  On CPU the public wrappers fall back to the scan, so
 these tests drive the Pallas kernels themselves through ``interpret=True`` —
 same kernel code, interpreted — across random configs including saturation,
 nonzero recurrence, ragged T (not divisible by the time chunk) and carried
-state.  A compiled-path test runs when a real TPU is the default backend
-(RUN_TPU_TESTS=1 outside this CPU-forced suite).
+state.  The compiled (non-interpret) paths are covered on the real chip by
+``tests_tpu/test_device_parity.py`` (run ``python -m pytest tests_tpu/ -q``
+outside this CPU-forced suite).
 """
-import os
-
 import numpy as np
 import pytest
 import jax
@@ -298,12 +297,6 @@ def test_lif_count_rates_rejects_dense_w_rec():
         lif_count_rates(config, make_spikes(31))
 
 
-@pytest.mark.skipif(
-    os.environ.get("RUN_TPU_TESTS") != "1" or jax.default_backend() != "tpu",
-    reason="compiled-path parity needs the real TPU (RUN_TPU_TESTS=1, no CPU forcing)",
-)
-def test_lif_count_compiled_tpu_matches_scan():
-    config = make_config(41, rec_coef=-2)
-    spikes = make_spikes(41, B=4, T=100)
-    got = np.asarray(lif_count_rates(config, spikes, time_chunk=32))
-    np.testing.assert_array_equal(got, scan_counts(config, spikes))
+# The compiled-path TPU test formerly gated here on RUN_TPU_TESTS could never
+# fire (conftest forces the CPU backend); it lives in tests_tpu/ now, which
+# runs on the real chip without the CPU forcing.

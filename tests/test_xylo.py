@@ -81,6 +81,42 @@ def test_validate_config_hardware_limits():
     assert any("16 input channels" in p for p in problems)  # 28 > 16
 
 
+def test_validate_config_resource_limits_waivable():
+    """The chip RESOURCE caps (hidden-neuron count) can be waived for
+    software deployments (the TPU simulator has no neuron limit — e.g. the
+    3-band x 449-grid network the reference could only run one band at a
+    time, snn_localization_benchmark.py:556-562); numeric quantization-range
+    checks stay fatal either way."""
+    rng = np.random.default_rng(4)
+    bf = rng.standard_normal((14, 600))  # 600 hidden per band, 2 bands = 1200
+    tau = 1 / (2 * np.pi * 1750)
+    spec = build_localization_spec(
+        [bf, bf], [(tau, tau), (tau, tau)], fs=FS, bipolar_spikes=True
+    )
+    cfg = global_quantize(spec)
+    assert cfg.n_hidden == 1200
+    problems = validate_config(cfg)
+    assert any("hidden neurons exceed" in p for p in problems)
+    assert not validate_config(cfg, resource_limits=False)
+
+    from haghighatshoarmuir2024_tpu.models.xylo.quantize import XyloConfig
+
+    bad = XyloConfig(
+        w_in=np.full((2, 3), 300, np.int32),  # beyond the 8-bit weight range
+        w_rec=np.zeros((3, 3), np.int32),
+        w_out=np.ones((3, 1), np.int32),
+        dash_syn=np.ones(3, np.int32),
+        dash_mem=np.ones(3, np.int32),
+        dash_syn_out=np.ones(1, np.int32),
+        dash_mem_out=np.ones(1, np.int32),
+        threshold=np.ones(3, np.int32),
+        threshold_out=np.ones(1, np.int32),
+        dt=1e-3,
+        weight_scale=1.0,
+    )
+    assert validate_config(bad, resource_limits=False)  # range check still fires
+
+
 def test_truncate_fan_out():
     rng = np.random.default_rng(3)
     w = rng.standard_normal((5, 100))
