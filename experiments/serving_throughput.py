@@ -125,6 +125,7 @@ def daemon_main(
     freq_band=(1600, 1900),
     num_grid: int = 64 * 7 + 1,
     use_shm: bool = False,
+    wire: str = "i16",
 ):
     """End-to-end serving throughput THROUGH the native daemon: 64 clients
     stream PCM in lockstep; wall time covers ingestion (native/streamd.cpp),
@@ -161,14 +162,21 @@ def daemon_main(
     ).astype(np.float32)
     chunks = chunks + 0.1 * rng.standard_normal(chunks.shape).astype(np.float32)
 
-    # PCM16 wire format: halves socket + host->device bytes (the pipeline
-    # is amplitude-scale-invariant); production audio is int16 anyway
+    # Compressed wire: PCM16 halves socket + host->device bytes vs f32
+    # (production audio is int16 anyway); mu-law u8 halves it AGAIN at
+    # ~27 dB per-sample SNR.  On a transport-bound host the upload is the
+    # serving ceiling, so wire bytes convert ~directly into throughput.
     peak = np.abs(chunks).max()
-    chunks_i16 = np.clip(chunks / peak * 32000, -32768, 32767).astype(np.int16)
+    if wire == "u8":
+        from haghighatshoarmuir2024_tpu.ops.mulaw import mulaw_encode
+
+        chunks_wire = mulaw_encode(chunks / peak * 0.98)
+    else:
+        chunks_wire = np.clip(chunks / peak * 32000, -32768, 32767).astype(np.int16)
     import os
 
     with LocalizationServer(
-        demo, max_streams=batch, chunk_sec=chunk_sec, wire_dtype="i16",
+        demo, max_streams=batch, chunk_sec=chunk_sec, wire_dtype=wire,
         batch_window_ms=60,
     ) as srv:
         srv.start()
@@ -182,7 +190,7 @@ def daemon_main(
             clients = [StreamClient(srv.port, i) for i in range(batch)]
         # warm-up step compiles the batched program
         for i, c in enumerate(clients):
-            c.send(chunks_i16[i])
+            c.send(chunks_wire[i])
         got = {}
         if use_shm:
             for i, c in enumerate(clients):
@@ -192,12 +200,12 @@ def daemon_main(
                 sid, doa = c.recv_doa(timeout=600.0)
                 got[sid] = doa
         # drop the warm-up round's compile time from the stage attribution
-        srv.stage_times.update({"wait": 0.0, "device": 0.0, "route": 0.0, "steps": 0})
+        srv.stage_times.update({k: 0 if k == "steps" else 0.0 for k in srv.stage_times})
 
         t0 = time.time()
         for _ in range(n_steps):
             for i, c in enumerate(clients):
-                c.send(chunks_i16[i])
+                c.send(chunks_wire[i])
             if use_shm:
                 for i, c in enumerate(clients):
                     got[i] = c.recv_doa(timeout=600.0)
@@ -235,9 +243,10 @@ def daemon_main(
 if __name__ == "__main__":
     import sys
 
+    wire = "u8" if "--wire=u8" in sys.argv else "i16"
     if "--shm" in sys.argv:
-        daemon_main(use_shm=True)
+        daemon_main(use_shm=True, wire=wire)
     elif "--daemon" in sys.argv:
-        daemon_main()
+        daemon_main(wire=wire)
     else:
         main()

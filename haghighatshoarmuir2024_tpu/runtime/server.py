@@ -106,13 +106,19 @@ class LocalizationServer:
         self.method = method or (
             "matched" if getattr(demo, "_profiles", None) is not None else "peak"
         )
-        if wire_dtype not in ("f32", "i16"):
-            raise ValueError("wire_dtype must be 'f32' or 'i16'")
-        # PCM16 wire format halves socket AND host->device bytes (the
+        if wire_dtype not in ("f32", "i16", "u8"):
+            raise ValueError("wire_dtype must be 'f32', 'i16' or 'u8'")
+        # Compressed wire formats cut socket AND host->device bytes (the
         # pipeline is amplitude-scale-invariant: linear front-end, extrema
-        # spike decisions, binary spikes into the integer SNN)
+        # spike decisions, binary spikes into the integer SNN):
+        #   i16 — PCM16, exact vs production audio (which is int16 anyway);
+        #   u8  — mu-law companded (ops/mulaw.py), ~27 dB per-sample SNR,
+        #         half of i16 again.  On a transport-bound host, wire bytes
+        #         are throughput — see the landmine note in _build_jits.
         self.wire_dtype = wire_dtype
-        np_dt, elem = (np.float32, 4) if wire_dtype == "f32" else (np.int16, 2)
+        np_dt, elem = {
+            "f32": (np.float32, 4), "i16": (np.int16, 2), "u8": (np.uint8, 1),
+        }[wire_dtype]
         self._lib = _load()
         self._h = self._lib.sd_start(port, self.B, self.Tc, self.M, elem)
         if not self._h:
@@ -129,60 +135,107 @@ class LocalizationServer:
         # opt-in per-stage timing (HM2024_SERVE_TIMING=1): cumulative seconds
         # per step() stage, for attributing end-to-end serving wall time
         self.stage_times = {"wait": 0.0, "device": 0.0, "route": 0.0, "steps": 0}
-        self._timing = os.environ.get("HM2024_SERVE_TIMING") == "1"
+        self._timing = os.environ.get("HM2024_SERVE_TIMING") in ("1", "2")
         self._state = self.sl.init_state(batch=self.B)
         self._build_jits()
 
     # ---- jitted helpers -------------------------------------------------
     def _build_jits(self):
-        doa_list = jnp.asarray(self.demo.doa_list)
+        # AXON TRANSFER LANDMINE (measured, this repo — /tmp probes, round
+        # 3): the FIRST device->host download in a process — any size (a
+        # (64,) f32 jit output suffices), any API — permanently flips the
+        # tunnel plugin out of its fast transfer mode: uploads drop from
+        # ~1.2 GB/s to ~50 MB/s + ~20 ms/call, on EVERY path thereafter
+        # (eager device_put and jit-argument binds alike; measured 7 ms ->
+        # 215-256 ms for the 10.5 MB chunk buffer).  Not recoverable:
+        # jax.clear_caches() and jax._src.api.clear_backends() both leave it
+        # slow; io_callback/outfeed delivery is UNIMPLEMENTED in axon_pjrt.
+        # Earlier suspects (bool params, int16 transposes, transposed matmul
+        # binds, large literals) were confounds — each of those probes also
+        # performed a D2H (jit lowering of a device-array CLOSURE downloads
+        # the array to embed it as a literal; keep closures numpy).
+        # Consequences for this serving loop, which must download the (B,)
+        # DoA vector every step and therefore runs its steady state in slow
+        # mode:
+        #   * build/compile phase stays download-free (numpy closures only,
+        #     profiles/grid uploaded as ARGUMENTS) so warm-up runs at fast-
+        #     mode transfer speed;
+        #   * steady-state throughput is wire-BYTES-bound -> the u8 mu-law
+        #     wire (ops/mulaw.py) is the big lever, decoded on device by a
+        #     table gather in the ingest program;
+        #   * dispatches per step are minimized (ingest + one fused
+        #     reset/step/merge/estimate program + one small readback).
         num_DoA = len(self.demo.doa_list)
         fs = self.demo.fs
+        self._dl_dev = jax.device_put(np.asarray(self.demo.doa_list, np.float32))
         profiles = getattr(self.demo, "_profiles", None)
-        profiles = None if profiles is None else jnp.asarray(profiles, jnp.float32)
-        method = self.method
+        self._prof_dev = jax.device_put(
+            np.zeros((num_DoA, num_DoA), np.float32) if profiles is None
+            else np.ascontiguousarray(np.asarray(profiles, np.float32).T)
+        )
+        matched = self.method == "matched" and profiles is not None
+
+        if self.wire_dtype == "i16":
+            ingest = jax.jit(lambda raw: raw.astype(jnp.float32) * (1.0 / 32768.0))
+        elif self.wire_dtype == "u8":
+            from ..ops.mulaw import mulaw_decode_table
+
+            self._mulaw_dev = jax.device_put(mulaw_decode_table())
+            _tbl = self._mulaw_dev  # device ARG, bound per call (not closed)
+            ingest = jax.jit(lambda raw, table: table[raw.astype(jnp.int32)])
+            ingest = (lambda f: (lambda raw: f(raw, _tbl)))(ingest)
+        else:
+            ingest = jax.jit(lambda raw: raw.astype(jnp.float32))
 
         @jax.jit
-        def merge(new_state, old_state, active):
-            def sel(n, o):
-                m = active.reshape((-1,) + (1,) * (n.ndim - 1))
-                return jnp.where(m, n, o)
-
-            return jax.tree.map(sel, new_state, old_state)
-
-        @jax.jit
-        def reset(state, mask):
+        def reset(state, resetf):
             zeros = self.sl.init_state(batch=self.B)
 
             def sel(z, o):
-                m = mask.reshape((-1,) + (1,) * (z.ndim - 1))
+                m = (resetf > 0.5).reshape((-1,) + (1,) * (z.ndim - 1))
                 return jnp.where(m, z, o)
 
             return jax.tree.map(sel, zeros, state)
 
-        @jax.jit
-        def doas(state):
+        def doas_impl(state, dl, prof_t):
             steps = jnp.maximum(state.steps, 1)
             r = state.counts.astype(jnp.float32) / steps[..., None] * fs
             r = r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
-            if method == "matched" and profiles is not None:
+            if matched:
                 rc = r - jnp.mean(r, axis=-1, keepdims=True)
                 # f32-exact scoring: the TPU's default bf16 matmul can flip
                 # near-tie argmaxes over the DoA grid (CLAUDE.md landmine);
                 # off the hot path, cost is negligible
                 scores = jnp.matmul(
-                    rc, profiles.T, precision=jax.lax.Precision.HIGHEST
+                    rc, prof_t, precision=jax.lax.Precision.HIGHEST
                 )
-                return doa_list[jnp.argmax(scores, axis=-1)]
-            return doa_list[jnp.argmax(r, axis=-1)]
+                return dl[jnp.argmax(scores, axis=-1)]
+            return dl[jnp.argmax(r, axis=-1)]
 
+        step_fn = self.sl._step_jit_batched_nospikes
+
+        # ONE fused program for zero-reclaimed-slots -> advance all streams
+        # -> masked-merge -> estimate; chunks arrive DEVICE-RESIDENT from
+        # the ingest program, so this program never touches the host.
         @jax.jit
-        def to_f32(x):
-            return x.astype(jnp.float32) * (1.0 / 32768.0)
+        def serve_step(state, chunks, activef, resetf, dl, prof_t):
+            zeros = self.sl.init_state(batch=self.B)
 
-        self._merge, self._reset, self._doas, self._to_f32 = (
-            merge, reset, doas, to_f32,
-        )
+            def selz(z, o):
+                m = (resetf > 0.5).reshape((-1,) + (1,) * (z.ndim - 1))
+                return jnp.where(m, z, o)
+
+            state = jax.tree.map(selz, zeros, state)
+            new_state = step_fn(state, chunks)
+
+            def sel(nw, o):
+                m = (activef > 0.5).reshape((-1,) + (1,) * (nw.ndim - 1))
+                return jnp.where(m, nw, o)
+
+            state = jax.tree.map(sel, new_state, state)
+            return state, doas_impl(state, dl, prof_t)
+
+        self._ingest, self._reset, self._serve_step = ingest, reset, serve_step
 
     # ---- serving loop ---------------------------------------------------
     def step(self, timeout_ms: int = 100) -> int:
@@ -205,27 +258,30 @@ class LocalizationServer:
         )
         t1 = _time.monotonic() if self._timing else 0.0
         n_reset = self._n_resets.value
+        reset_mask = np.zeros(self.B, np.float32)
         if n_reset > 0:
-            mask = np.zeros(self.B, bool)
-            mask[np.ctypeslib.as_array(self._reset_buf)[:n_reset]] = True
-            self._state = self._reset(self._state, jnp.asarray(mask))
+            reset_mask[np.ctypeslib.as_array(self._reset_buf)[:n_reset]] = 1.0
         if n <= 0:
+            if n_reset > 0:
+                self._state = self._reset(self._state, reset_mask)
             if self._timing:
                 self.stage_times["wait"] += t1 - t0
             return 0
         ids = np.ctypeslib.as_array(self._ids_buf)[:n].copy()
-        active = np.zeros(self.B, bool)
-        active[ids] = True
+        active = np.zeros(self.B, np.float32)
+        active[ids] = 1.0
         # the daemon wrote each chunk at row=stream_id of the persistent
-        # buffer; inactive rows hold stale audio, computed on and masked out
-        chunks = jnp.asarray(self._data_buf)
-        if self.wire_dtype == "i16":
-            chunks = self._to_f32(chunks)
-        new_state = self.sl.process_chunk(
-            self._state, chunks, return_spikes=False
+        # buffer; inactive rows hold stale audio, computed on and masked
+        # out.  Two launches: the trivial ingest uploads the raw buffer as
+        # its jit argument (the fast transfer path — see _build_jits), then
+        # the fused serve program runs entirely on device-resident data and
+        # only the (B,) DoA vector comes back.
+        chunks_dev = self._ingest(self._data_buf)
+        self._state, doa_dev = self._serve_step(
+            self._state, chunks_dev, active, reset_mask,
+            self._dl_dev, self._prof_dev,
         )
-        self._state = self._merge(new_state, self._state, jnp.asarray(active))
-        all_doas = np.asarray(self._doas(self._state), np.float32)
+        all_doas = np.asarray(doa_dev, np.float32)
         t2 = _time.monotonic() if self._timing else 0.0
         out_ids = (ctypes.c_uint32 * n)(*ids.tolist())
         out_doas = (ctypes.c_float * n)(*all_doas[ids].tolist())
@@ -283,9 +339,10 @@ class StreamClient:
 
     def send(self, chunk: np.ndarray):
         """Send a (T, M) block (any T; the daemon re-chunks).  The dtype
-        must match the server's ``wire_dtype``: float32 or int16 PCM."""
+        must match the server's ``wire_dtype``: float32, int16 PCM, or
+        mu-law uint8 (encode with :func:`ops.mulaw.mulaw_encode`)."""
         data = np.ascontiguousarray(chunk)
-        if data.dtype not in (np.float32, np.int16):
+        if data.dtype not in (np.float32, np.int16, np.uint8):
             data = data.astype(np.float32)
         self.sock.sendall(struct.pack("<I", data.size) + data.tobytes())
 

@@ -117,16 +117,24 @@ class StreamingLocalizer:
         from ..ops.fir import fir_filter
         from ..ops.peaks import find_peaks_mask
 
-        kernel = jnp.asarray(self.kernel)
+        # NUMPY closures, deliberately: jit-lowering a function that closes
+        # over a DEVICE-resident array performs a device->host download to
+        # embed the literal, and the FIRST D2H in a process permanently
+        # flips the tunneled axon backend into slow transfer mode
+        # (~1.2 GB/s -> ~50 MB/s + ~20 ms/call on all subsequent transfers;
+        # measured, see runtime/server.py).  Numpy closures lower without
+        # any transfer.  Keeping this build path download-free lets the
+        # serving warm-up (compiles + first uploads) run at fast-mode speed.
+        kernel = np.asarray(self.kernel)
         K, rw, guard, pending = self.K, self.rw, self.guard, self.pending
         filters = self._filters
         num_mic = self.num_mic
         bipolar = self.bipolar
         cfg = self._cfg
-        w_in = jnp.asarray(cfg.w_in, jnp.float32)
-        dash_syn = jnp.asarray(cfg.dash_syn, jnp.int32)
-        dash_mem = jnp.asarray(cfg.dash_mem, jnp.int32)
-        threshold = jnp.asarray(cfg.threshold, jnp.int32)
+        w_in = np.asarray(cfg.w_in, np.float32)
+        dash_syn = np.asarray(cfg.dash_syn, np.int32)
+        dash_mem = np.asarray(cfg.dash_mem, np.int32)
+        threshold = np.asarray(cfg.threshold, np.int32)
         rec_coef = self._rec_coef
 
         def lif_scan(carry, inp_t):
