@@ -126,6 +126,7 @@ def daemon_main(
     num_grid: int = 64 * 7 + 1,
     use_shm: bool = False,
     wire: str = "i16",
+    wire_upsample: int = 1,
 ):
     """End-to-end serving throughput THROUGH the native daemon: 64 clients
     stream PCM in lockstep; wall time covers ingestion (native/streamd.cpp),
@@ -164,20 +165,25 @@ def daemon_main(
 
     # Compressed wire: PCM16 halves socket + host->device bytes vs f32
     # (production audio is int16 anyway); mu-law u8 halves it AGAIN at
-    # ~27 dB per-sample SNR.  On a transport-bound host the upload is the
-    # serving ceiling, so wire bytes convert ~directly into throughput.
-    peak = np.abs(chunks).max()
-    if wire == "u8":
-        from haghighatshoarmuir2024_tpu.ops.mulaw import mulaw_encode
+    # ~27 dB per-sample SNR; u4 packs two 4-bit codes per byte; and
+    # wire_upsample=4 ships 12 kHz audio reconstructed to 48 kHz ON DEVICE
+    # (ops/resample.py) — u4@12k is 16x less than f32, 4x less than u8.
+    # On a transport-bound host the upload is the serving ceiling, so wire
+    # bytes convert ~directly into throughput.
+    from haghighatshoarmuir2024_tpu.runtime.server import encode_wire
 
-        chunks_wire = mulaw_encode(chunks / peak * 0.98)
+    peak = np.abs(chunks).max()
+    if wire in ("u8", "u4") or wire_upsample > 1:
+        chunks_wire = np.stack([
+            encode_wire(c / peak * 0.98, wire, wire_upsample) for c in chunks
+        ])
     else:
         chunks_wire = np.clip(chunks / peak * 32000, -32768, 32767).astype(np.int16)
     import os
 
     with LocalizationServer(
         demo, max_streams=batch, chunk_sec=chunk_sec, wire_dtype=wire,
-        batch_window_ms=60,
+        batch_window_ms=60, wire_upsample=wire_upsample,
     ) as srv:
         srv.start()
         if use_shm:
@@ -243,10 +249,14 @@ def daemon_main(
 if __name__ == "__main__":
     import sys
 
-    wire = "u8" if "--wire=u8" in sys.argv else "i16"
+    wire = "i16"
+    for w in ("u8", "u4", "f32"):
+        if f"--wire={w}" in sys.argv:
+            wire = w
+    up = 4 if "--decim=4" in sys.argv else 1
     if "--shm" in sys.argv:
-        daemon_main(use_shm=True, wire=wire)
+        daemon_main(use_shm=True, wire=wire, wire_upsample=up)
     elif "--daemon" in sys.argv:
-        daemon_main(wire=wire)
+        daemon_main(wire=wire, wire_upsample=up)
     else:
         main()

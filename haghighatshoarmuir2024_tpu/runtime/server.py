@@ -97,7 +97,8 @@ class LocalizationServer:
 
     def __init__(self, demo, max_streams: int = 64, chunk_sec: float = 0.25,
                  port: int = 0, method: str | None = None,
-                 batch_window_ms: int = 10, wire_dtype: str = "f32"):
+                 batch_window_ms: int = 10, wire_dtype: str = "f32",
+                 wire_upsample: int = 1):
         self.sl = StreamingLocalizer(demo)
         self.demo = demo
         self.B = int(max_streams)
@@ -106,21 +107,42 @@ class LocalizationServer:
         self.method = method or (
             "matched" if getattr(demo, "_profiles", None) is not None else "peak"
         )
-        if wire_dtype not in ("f32", "i16", "u8"):
-            raise ValueError("wire_dtype must be 'f32', 'i16' or 'u8'")
+        if wire_dtype not in ("f32", "i16", "u8", "u4"):
+            raise ValueError("wire_dtype must be 'f32', 'i16', 'u8' or 'u4'")
+        if wire_upsample not in (1, 4):
+            raise ValueError("wire_upsample must be 1 or 4")
         # Compressed wire formats cut socket AND host->device bytes (the
         # pipeline is amplitude-scale-invariant: linear front-end, extrema
         # spike decisions, binary spikes into the integer SNN):
         #   i16 — PCM16, exact vs production audio (which is int16 anyway);
         #   u8  — mu-law companded (ops/mulaw.py), ~27 dB per-sample SNR,
-        #         half of i16 again.  On a transport-bound host, wire bytes
-        #         are throughput — see the landmine note in _build_jits.
+        #         half of i16 again;
+        #   u4  — 4-bit mu-law, two codes per byte (ops/mulaw.py pack4),
+        #         half of u8 again (~23 dB in-band after the bandpass).
+        # wire_upsample=4 additionally ships audio at fs/4 (12 kHz — the
+        # 1.6-2.6 kHz bands are ~9x oversampled at 48 kHz) and reconstructs
+        # the 48 kHz stream ON DEVICE with a carried-state polyphase FIR
+        # (ops/resample.py), so the pipeline itself still runs at the
+        # reference rate.  Encode client-side with :func:`encode_wire`.
+        # On a transport-bound host, wire bytes are throughput — see the
+        # landmine note in _build_jits.  u4 + upsample: 16x less than f32.
         self.wire_dtype = wire_dtype
+        self.wire_upsample = int(wire_upsample)
+        if self.Tc % self.wire_upsample:
+            raise ValueError("chunk samples must divide by wire_upsample")
+        self.Tw = self.Tc // self.wire_upsample  # wire-rate samples/chunk
         np_dt, elem = {
-            "f32": (np.float32, 4), "i16": (np.int16, 2), "u8": (np.uint8, 1),
+            "f32": (np.float32, 4), "i16": (np.int16, 2),
+            "u8": (np.uint8, 1), "u4": (np.uint8, 1),
         }[wire_dtype]
+        if wire_dtype == "u4":
+            if self.Tw % 2:
+                raise ValueError("u4 wire needs an even wire-rate chunk")
+            self.Tb = self.Tw // 2  # two codes per byte along time
+        else:
+            self.Tb = self.Tw
         self._lib = _load()
-        self._h = self._lib.sd_start(port, self.B, self.Tc, self.M, elem)
+        self._h = self._lib.sd_start(port, self.B, self.Tb, self.M, elem)
         if not self._h:
             raise OSError("streamd: failed to bind server socket")
         self._lib.sd_set_window(self._h, batch_window_ms)
@@ -131,7 +153,7 @@ class LocalizationServer:
         self._ids_buf = (ctypes.c_uint32 * self.B)()
         self._reset_buf = (ctypes.c_uint32 * self.B)()
         self._n_resets = ctypes.c_int(0)
-        self._data_buf = np.zeros((self.B, self.Tc, self.M), np_dt)
+        self._data_buf = np.zeros((self.B, self.Tb, self.M), np_dt)
         # opt-in per-stage timing (HM2024_SERVE_TIMING=1): cumulative seconds
         # per step() stage, for attributing end-to-end serving wall time
         self.stage_times = {"wait": 0.0, "device": 0.0, "route": 0.0, "steps": 0}
@@ -175,17 +197,62 @@ class LocalizationServer:
         )
         matched = self.method == "matched" and profiles is not None
 
-        if self.wire_dtype == "i16":
-            ingest = jax.jit(lambda raw: raw.astype(jnp.float32) * (1.0 / 32768.0))
-        elif self.wire_dtype == "u8":
-            from ..ops.mulaw import mulaw_decode_table
+        from ..ops.mulaw import mulaw4_decode_table, mulaw_decode_table
+        from ..ops.resample import (
+            TAPS_PER_PHASE,
+            design_upsample_fir,
+            phase_table,
+            upsample_poly_stream,
+        )
 
-            self._mulaw_dev = jax.device_put(mulaw_decode_table())
-            _tbl = self._mulaw_dev  # device ARG, bound per call (not closed)
-            ingest = jax.jit(lambda raw, table: table[raw.astype(jnp.int32)])
-            ingest = (lambda f: (lambda raw: f(raw, _tbl)))(ingest)
+        wdt = self.wire_dtype
+        # decode tables stay NUMPY closures: jit embeds host literals with no
+        # device->host download (a device-array closure would trigger the
+        # first-D2H slow-transfer flip documented above)
+        tbl8 = mulaw_decode_table()
+        tbl4 = mulaw4_decode_table()
+
+        def decode(raw):
+            """(B, Tb, M) wire buffer -> (B, Tw, M) float32 wire-rate audio."""
+            if wdt == "i16":
+                return raw.astype(jnp.float32) * (1.0 / 32768.0)
+            if wdt == "u8":
+                return jnp.asarray(tbl8)[raw.astype(jnp.int32)]
+            if wdt == "u4":
+                r = raw.astype(jnp.int32)
+                hi = jnp.asarray(tbl4)[(r >> 4) & 0xF]
+                lo = jnp.asarray(tbl4)[r & 0xF]
+                x = jnp.stack([hi, lo], axis=2)  # (B, Tb, 2, M)
+                return x.reshape(raw.shape[0], raw.shape[1] * 2, raw.shape[2])
+            return raw.astype(jnp.float32)
+
+        if self.wire_upsample > 1:
+            # stateful ingest: decode, zero reset slots' filter history,
+            # polyphase-interpolate back to 48 kHz, advance active slots'
+            # carried history (idle lanes hold; see ops/resample.py)
+            up = self.wire_upsample
+            hp = phase_table(design_upsample_fir(up), up)  # numpy literal
+            self._wire_carry = jax.device_put(
+                np.zeros((self.B, TAPS_PER_PHASE - 1, self.M), np.float32)
+            )
+
+            @jax.jit
+            def ingest_up(raw, carry, activef, resetf):
+                rm = (resetf > 0.5)[:, None, None]
+                am = (activef > 0.5)[:, None, None]
+                carry0 = jnp.where(rm, 0.0, carry)
+                y, adv = upsample_poly_stream(decode(raw), carry0, hp, up)
+                return y, jnp.where(am, adv, carry0)
+
+            @jax.jit
+            def reset_carry(carry, resetf):
+                return jnp.where((resetf > 0.5)[:, None, None], 0.0, carry)
+
+            self._ingest_up, self._reset_carry = ingest_up, reset_carry
+            ingest = None
         else:
-            ingest = jax.jit(lambda raw: raw.astype(jnp.float32))
+            self._wire_carry = None
+            ingest = jax.jit(decode)
 
         @jax.jit
         def reset(state, resetf):
@@ -264,6 +331,10 @@ class LocalizationServer:
         if n <= 0:
             if n_reset > 0:
                 self._state = self._reset(self._state, reset_mask)
+                if self._wire_carry is not None:
+                    self._wire_carry = self._reset_carry(
+                        self._wire_carry, reset_mask
+                    )
             if self._timing:
                 self.stage_times["wait"] += t1 - t0
             return 0
@@ -276,7 +347,12 @@ class LocalizationServer:
         # its jit argument (the fast transfer path — see _build_jits), then
         # the fused serve program runs entirely on device-resident data and
         # only the (B,) DoA vector comes back.
-        chunks_dev = self._ingest(self._data_buf)
+        if self._wire_carry is not None:
+            chunks_dev, self._wire_carry = self._ingest_up(
+                self._data_buf, self._wire_carry, active, reset_mask
+            )
+        else:
+            chunks_dev = self._ingest(self._data_buf)
         self._state, doa_dev = self._serve_step(
             self._state, chunks_dev, active, reset_mask,
             self._dl_dev, self._prof_dev,
@@ -328,6 +404,75 @@ class LocalizationServer:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def encode_wire(chunk: np.ndarray, wire_dtype: str = "f32",
+                wire_upsample: int = 1) -> np.ndarray:
+    """Client-side wire encode matching a server's (wire_dtype,
+    wire_upsample) config: (T, M) float audio in [-1, 1] -> wire buffer.
+
+    wire_upsample=4 decimates to fs/4 first (anti-aliased,
+    ops/resample.py:decimate_fir); u8/u4 are mu-law companded (ops/mulaw.py),
+    u4 packed two codes per byte along time.  T must divide by
+    wire_upsample (and the wire-rate length must be even for u4).
+    """
+    from ..ops.mulaw import mulaw4_encode, mulaw_encode, pack4
+    from ..ops.resample import decimate_fir
+
+    x = np.asarray(chunk, np.float32)
+    if wire_upsample > 1:
+        x = decimate_fir(x, wire_upsample)
+    if wire_dtype == "i16":
+        return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+    if wire_dtype == "u8":
+        return mulaw_encode(x)
+    if wire_dtype == "u4":
+        return pack4(mulaw4_encode(x))
+    return x
+
+
+class WireEncoder:
+    """Stateful client-side encoder for STREAMING chunks.
+
+    :func:`encode_wire` anti-alias-filters each chunk against zero history;
+    for a continuous stream that injects a small transient at every chunk
+    seam.  This class carries the filter history so chunked encoding equals
+    encoding the concatenated stream exactly (the mirror of the server's
+    carried-state polyphase ingest).  Chunk lengths must divide by
+    ``wire_upsample`` (and the wire-rate length must be even for u4).
+    """
+
+    def __init__(self, wire_dtype: str = "f32", wire_upsample: int = 1):
+        from ..ops.resample import design_upsample_fir
+
+        self.wire_dtype = wire_dtype
+        self.up = int(wire_upsample)
+        if self.up > 1:
+            self._h = (design_upsample_fir(self.up) / np.float32(self.up))
+            self._carry = None  # (L-1, M), lazily shaped on first chunk
+
+    def encode(self, chunk: np.ndarray) -> np.ndarray:
+        from ..ops.mulaw import mulaw4_encode, mulaw_encode, pack4
+
+        x = np.asarray(chunk, np.float32)
+        if self.up > 1:
+            L = self._h.size
+            if self._carry is None:
+                self._carry = np.zeros((L - 1,) + x.shape[1:], np.float32)
+            ext = np.concatenate([self._carry, x], axis=0)
+            self._carry = ext[-(L - 1):].copy()
+            flat = ext.reshape(ext.shape[0], -1)
+            out = np.empty((x.shape[0], flat.shape[1]), np.float32)
+            for c in range(flat.shape[1]):
+                out[:, c] = np.convolve(flat[:, c], self._h, mode="valid")
+            x = out.reshape((x.shape[0],) + x.shape[1:])[:: self.up]
+        if self.wire_dtype == "i16":
+            return np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+        if self.wire_dtype == "u8":
+            return mulaw_encode(x)
+        if self.wire_dtype == "u4":
+            return pack4(mulaw4_encode(x))
+        return x
 
 
 class StreamClient:

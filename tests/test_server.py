@@ -135,6 +135,43 @@ def test_server_slot_reset_on_reconnect(demo):
         c2.close()
 
 
+def test_server_u4_upsampled_wire_localizes(demo):
+    """The maximum-compression wire — 4-bit mu-law codes at fs/4, i.e. 16x
+    fewer bytes than float32 (ops/mulaw.py + ops/resample.py) — still serves
+    correct DoAs: the on-device polyphase ingest reconstructs the 48 kHz
+    stream with carried per-stream filter state across chunk seams."""
+    from haghighatshoarmuir2024_tpu.runtime.server import WireEncoder
+
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    doas_true = {0: 0.7, 2: -1.4}
+    with LocalizationServer(
+        demo, max_streams=4, chunk_sec=chunk_sec, wire_dtype="u4",
+        wire_upsample=4,
+    ) as srv:
+        assert srv.Tb == Tc // 8  # 16x fewer wire bytes than f32
+        srv.start()
+        clients = {sid: StreamClient(srv.port, sid) for sid in doas_true}
+        encs = {sid: WireEncoder("u4", wire_upsample=4) for sid in doas_true}
+        sigs = {
+            sid: _stream_signal(demo, d, 3 * chunk_sec, seed=sid)
+            for sid, d in doas_true.items()
+        }
+        got = {}
+        for k in range(3):
+            for sid, c in clients.items():
+                x = sigs[sid][k * Tc : (k + 1) * Tc]
+                c.send(encs[sid].encode(x / np.abs(sigs[sid]).max() * 0.98))
+            for sid, c in clients.items():
+                rid, doa = c.recv_doa(timeout=300.0)
+                assert rid == sid
+                got[sid] = doa
+        for sid, d_true in doas_true.items():
+            assert _folded_deg(got[sid], d_true) < 25.0, (sid, got[sid], d_true)
+        for c in clients.values():
+            c.close()
+
+
 def test_server_mulaw_wire_localizes(demo):
     """The mu-law u8 wire (ops/mulaw.py, half of PCM16) serves the same
     answers: companding noise (~27 dB per-sample SNR) is far above what the
