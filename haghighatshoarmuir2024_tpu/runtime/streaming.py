@@ -373,6 +373,35 @@ class StreamingLocalizer:
             return self._step_jit_batched(state, chunk)
         return self._step_jit(state, chunk)
 
+    def make_sharded_step(self, mesh, axis_name: str = "data"):
+        """Data-parallel serving step over a multi-chip ``jax.sharding.Mesh``.
+
+        Streams are independent, so serving shards PERFECTLY data-parallel:
+        carried state and chunks split on the stream axis and there are ZERO
+        cross-device collectives — nothing rides ICI, scaling is linear by
+        construction (the multi-chip twin of the single-chip serving loop the
+        daemon drives; the reference's closest analogue is one sox capture at
+        a time, micloc/record.py:54-60).  Each device runs the same fused
+        encode→RZCC→LIF program on its ``B/n_devices`` slice; on TPU the
+        per-shard batch should satisfy the Pallas batch-shape rules
+        (``B/n % 4 == 0`` or 1 — see ops/pallas/lif_kernel.py).
+
+        Returns a jitted ``(state, chunks) -> new_state`` operating on
+        ``P(axis_name)``-sharded leading axes.  Validated against the
+        unsharded step on the virtual 8-device CPU mesh in
+        tests/test_streaming.py.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        body = self._make_steps[2]  # batched step, no spike materialization
+        fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=P(axis_name),
+        )
+        return jax.jit(fn)
+
     def rate(self, state: StreamState):
         """Current per-DoA spike-rate estimate from the accumulated counts
         (batched states give (B, G) rates)."""

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from haghighatshoarmuir2024_tpu import CenterCircularArray
 from haghighatshoarmuir2024_tpu.models.xylo import Demo
 from haghighatshoarmuir2024_tpu.runtime import StreamingLocalizer
+from haghighatshoarmuir2024_tpu.runtime.streaming import StreamState
 from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
 
 FS = 48_000
@@ -232,3 +233,42 @@ def test_streaming_unipolar_and_multiband():
         sim_hidden_batch(d.xylo_config, spikes_all[None].astype(np.int32))
     )[0].sum(axis=0)
     np.testing.assert_array_equal(np.asarray(state.counts), ref)
+
+
+def test_sharded_serving_step_matches_unsharded(demo):
+    """Multi-chip serving: the data-parallel shard_map step over the virtual
+    8-device mesh carries state/counts identical to the single-device batched
+    step (streams are independent — the layout has zero collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from haghighatshoarmuir2024_tpu.parallel.mesh import make_mesh
+
+    sl = StreamingLocalizer(demo)
+    B = 8
+    Tc = 6000
+    mesh = make_mesh(8)
+    doas = np.linspace(-np.pi, np.pi, B, endpoint=False)
+    sig = np.stack([_signal(demo, 2 * Tc / FS, d, seed=i)
+                    for i, d in enumerate(doas)]).astype(np.float32)
+
+    sharded_step = sl.make_sharded_step(mesh)
+    sh = NamedSharding(mesh, PS("data"))
+    st_ref = sl.init_state(batch=B)
+    st_sh = jax.device_put(st_ref, sh)
+    for k in range(2):  # two chunks: the seam state crosses devices' steps
+        chunk = sig[:, k * Tc:(k + 1) * Tc]
+        st_ref = sl.process_chunk(st_ref, chunk, return_spikes=False)
+        st_sh = sharded_step(st_sh, jax.device_put(jnp.asarray(chunk), sh))
+
+    # every stream slice must land on its own device slice
+    assert st_sh.counts.sharding.is_equivalent_to(sh, st_sh.counts.ndim)
+    for name in StreamState._fields:
+        a, b = np.asarray(getattr(st_ref, name)), np.asarray(getattr(st_sh, name))
+        if a.dtype.kind == "i":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-5, err_msg=name)
+    # and the DoA answers agree exactly
+    da = np.asarray(sl.estimate_doa(st_ref))
+    db = np.asarray(sl.estimate_doa(st_sh))
+    np.testing.assert_array_equal(da, db)
