@@ -203,3 +203,74 @@ def test_server_mulaw_wire_localizes(demo):
             assert _folded_deg(got[sid], d_true) < 25.0, (sid, got[sid], d_true)
         for c in clients.values():
             c.close()
+
+
+def test_native_encoder_matches_python():
+    """The C wire encoder (native/streamc.cpp) produces byte-identical codes
+    to the Python WireEncoder at the wire rate, and float-identical
+    decimation (carried anti-alias history) within rounding."""
+    from haghighatshoarmuir2024_tpu.runtime.native_client import NativeWireEncoder
+    from haghighatshoarmuir2024_tpu.runtime.server import WireEncoder
+
+    rng = np.random.default_rng(0)
+    chunks = [np.clip(rng.standard_normal((6000, 7)) * 0.4, -1, 1)
+              .astype(np.float32) for _ in range(3)]
+
+    for wd in ("i16", "u8", "u4"):
+        py, nat = WireEncoder(wd), NativeWireEncoder(wd, n_ch=7)
+        for ch in chunks:
+            a, b = py.encode(ch), nat.encode(ch)
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(a, b, err_msg=wd)
+        nat.close()
+
+    # decimation path: compare the float wire (dtype f32, upsample 4) —
+    # same carried history, same taps, independent implementations
+    py, nat = WireEncoder("f32", 4), NativeWireEncoder("f32", 4, n_ch=7)
+    for ch in chunks:
+        a, b = py.encode(ch), nat.encode(ch)
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+    nat.close()
+
+
+def test_native_clients_localize(demo):
+    """Native producer clients (C TCP framing + C shm ring, C wire encoder
+    at 16x compression) drive the daemon end-to-end."""
+    import os
+
+    from haghighatshoarmuir2024_tpu.runtime.native_client import (
+        NativeShmClient,
+        NativeStreamClient,
+        NativeWireEncoder,
+    )
+
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    with LocalizationServer(
+        demo, max_streams=4, chunk_sec=chunk_sec, wire_dtype="u4",
+        wire_upsample=4,
+    ) as srv:
+        srv.start()
+        tcp = NativeStreamClient(srv.port, 0)
+        shm = NativeShmClient(f"hm2024_test_natshm_{os.getpid()}")
+        srv.attach_shm(2, shm.name)
+        enc = {0: NativeWireEncoder("u4", 4, n_ch=7),
+               2: NativeWireEncoder("u4", 4, n_ch=7)}
+        sig_tcp = _stream_signal(demo, 0.7, 3 * chunk_sec, seed=11)
+        sig_shm = _stream_signal(demo, -1.4, 3 * chunk_sec, seed=12)
+        sig_tcp /= np.abs(sig_tcp).max() / 0.98
+        sig_shm /= np.abs(sig_shm).max() / 0.98
+        got_tcp = got_shm = None
+        for k in range(3):
+            tcp.send(enc[0].encode(sig_tcp[k * Tc:(k + 1) * Tc]))
+            shm.send(enc[2].encode(sig_shm[k * Tc:(k + 1) * Tc]))
+            rid, got_tcp = tcp.recv_doa(timeout=300.0)
+            assert rid == 0
+            got_shm = shm.recv_doa(timeout=300.0)
+        assert _folded_deg(got_tcp, 0.7) < 25.0, got_tcp
+        assert _folded_deg(got_shm, -1.4) < 25.0, got_shm
+        srv.detach_shm(2)
+        tcp.close()
+        shm.close()
+        for e in enc.values():
+            e.close()
