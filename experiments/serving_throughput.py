@@ -127,6 +127,7 @@ def daemon_main(
     use_shm: bool = False,
     wire: str = "i16",
     wire_upsample: int = 1,
+    native_clients: bool = False,
 ):
     """End-to-end serving throughput THROUGH the native daemon: 64 clients
     stream PCM in lockstep; wall time covers ingestion (native/streamd.cpp),
@@ -186,7 +187,22 @@ def daemon_main(
         batch_window_ms=60, wire_upsample=wire_upsample,
     ) as srv:
         srv.start()
-        if use_shm:
+        if native_clients:  # C producer path (native/streamc.cpp)
+            from haghighatshoarmuir2024_tpu.runtime.native_client import (
+                NativeShmClient,
+                NativeStreamClient,
+            )
+
+            if use_shm:
+                clients = [
+                    NativeShmClient(f"hm2024_bench_{os.getpid()}_{i}")
+                    for i in range(batch)
+                ]
+                for i, c in enumerate(clients):
+                    srv.attach_shm(i, c.name)
+            else:
+                clients = [NativeStreamClient(srv.port, i) for i in range(batch)]
+        elif use_shm:
             clients = [
                 ShmStreamClient(f"hm2024_bench_{os.getpid()}_{i}") for i in range(batch)
             ]
@@ -235,6 +251,8 @@ def daemon_main(
         "daemon-step-ms": round(wall / n_steps * 1000, 2),
         "streams": batch,
         "doa-ok-frac@5deg": ok,
+        "wire": wire + ("@12k" if wire_upsample == 4 else ""),
+        "native-clients": native_clients,
     }
     if st["steps"]:
         metrics["stage-ms"] = {
@@ -254,9 +272,11 @@ if __name__ == "__main__":
         if f"--wire={w}" in sys.argv:
             wire = w
     up = 4 if "--decim=4" in sys.argv else 1
+    native = "--native" in sys.argv
     if "--shm" in sys.argv:
-        daemon_main(use_shm=True, wire=wire, wire_upsample=up)
+        daemon_main(use_shm=True, wire=wire, wire_upsample=up,
+                    native_clients=native)
     elif "--daemon" in sys.argv:
-        daemon_main(wire=wire, wire_upsample=up)
+        daemon_main(wire=wire, wire_upsample=up, native_clients=native)
     else:
         main()
