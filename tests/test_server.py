@@ -274,3 +274,48 @@ def test_native_clients_localize(demo):
         shm.close()
         for e in enc.values():
             e.close()
+
+
+def test_ingest_upsample_carry_semantics(demo):
+    """The stateful wire-rate ingest advances carried filter history only
+    for ACTIVE slots, zeroes it for RESET slots, and holds it for idle ones
+    (runtime/server.py ingest_up)."""
+    import jax.numpy as jnp
+
+    from haghighatshoarmuir2024_tpu.ops.resample import (
+        TAPS_PER_PHASE,
+        design_upsample_fir,
+        phase_table,
+        upsample_poly_stream,
+    )
+
+    chunk_sec = 0.125
+    with LocalizationServer(
+        demo, max_streams=4, chunk_sec=chunk_sec, wire_dtype="i16",
+        wire_upsample=4,
+    ) as srv:
+        rng = np.random.default_rng(0)
+        B, Tb, M = srv.B, srv.Tb, srv.M
+        K = TAPS_PER_PHASE - 1
+        raw = rng.integers(-30000, 30000, (B, Tb, M)).astype(np.int16)
+        carry0 = jnp.asarray(rng.standard_normal((B, K, M)), jnp.float32)
+        active = np.array([1, 0, 1, 0], np.float32)
+        reset = np.array([0, 0, 1, 1], np.float32)
+        y, c1 = srv._ingest_up(jnp.asarray(raw), carry0, active, reset)
+
+        hp = phase_table(design_upsample_fir(4), 4)
+        xw = raw.astype(np.float32) / 32768.0
+        # slot 0 (active, no reset): advance from its old carry
+        y0, c0 = upsample_poly_stream(jnp.asarray(xw[:1]), carry0[:1], hp, 4)
+        np.testing.assert_array_equal(np.asarray(y)[0], np.asarray(y0)[0])
+        np.testing.assert_array_equal(np.asarray(c1)[0], np.asarray(c0)[0])
+        # slot 1 (idle): carry held
+        np.testing.assert_array_equal(np.asarray(c1)[1], np.asarray(carry0)[1])
+        # slot 2 (active + reset): history zeroed BEFORE its chunk
+        y2, c2 = upsample_poly_stream(
+            jnp.asarray(xw[2:3]), jnp.zeros((1, K, M), jnp.float32), hp, 4
+        )
+        np.testing.assert_array_equal(np.asarray(y)[2], np.asarray(y2)[0])
+        np.testing.assert_array_equal(np.asarray(c1)[2], np.asarray(c2)[0])
+        # slot 3 (reset, idle): carry zeroed
+        np.testing.assert_array_equal(np.asarray(c1)[3], np.zeros((K, M)))
