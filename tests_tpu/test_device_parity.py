@@ -192,3 +192,50 @@ def test_forward_batch_rate_profile_parity_vs_cpu():
     i_t = rate_tpu.argmax(axis=-1)
     i_c = rate_cpu.argmax(axis=-1)
     assert np.all(np.abs(i_t - i_c) <= 1), (i_t, i_c)
+
+
+# ---------------------------------------------------- serving ingest parity
+def test_ingest_u4_upsample_compiled_matches_host():
+    """The serving daemon's compressed-wire ingest (u4 nibble unpack +
+    16-entry table gather + polyphase upsample conv) compiled on the TPU
+    matches the host-side reference path (runtime/server.py ingest_up)."""
+    from haghighatshoarmuir2024_tpu.ops.mulaw import (
+        mulaw4_decode,
+        mulaw4_decode_table,
+        mulaw4_encode,
+        pack4,
+    )
+    from haghighatshoarmuir2024_tpu.ops.resample import (
+        TAPS_PER_PHASE,
+        design_upsample_fir,
+        phase_table,
+        upsample_poly,
+        upsample_poly_stream,
+    )
+
+    rng = np.random.default_rng(5)
+    B, Tw, M, F = 8, 3000, 7, 4
+    x = np.clip(rng.standard_normal((B, Tw, M)) * 0.4, -1, 1).astype(np.float32)
+    packed = np.stack([pack4(mulaw4_encode(x[b])) for b in range(B)])
+    tbl4 = mulaw4_decode_table()
+    hp = phase_table(design_upsample_fir(F), F)
+    K = TAPS_PER_PHASE - 1
+
+    @jax.jit
+    def ingest(raw, carry):
+        r = raw.astype(jnp.int32)
+        hi = jnp.asarray(tbl4)[(r >> 4) & 0xF]
+        lo = jnp.asarray(tbl4)[r & 0xF]
+        xw = jnp.stack([hi, lo], axis=2).reshape(
+            raw.shape[0], raw.shape[1] * 2, raw.shape[2]
+        )
+        return upsample_poly_stream(xw, carry, hp, F)
+
+    y, carry = ingest(jnp.asarray(packed), jnp.zeros((B, K, M), jnp.float32))
+    h = design_upsample_fir(F)
+    dec = np.stack([mulaw4_decode(mulaw4_encode(x[b])) for b in range(B)])
+    gold = np.stack([upsample_poly(dec[b], h, F) for b in range(B)])
+    np.testing.assert_allclose(np.asarray(y), gold, rtol=0, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(carry), dec[:, -K:, :], rtol=0, atol=0
+    )
