@@ -20,8 +20,46 @@ import time
 import numpy as np
 
 
+def _probe_device(timeout_s: float = 300.0) -> bool:
+    """Fail fast if the device backend is unreachable (a dead axon tunnel
+    hangs jax.devices() forever — measured in round 3).  Probes in a
+    subprocess so the hang is bounded and this process's backend stays
+    uninitialized."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import os
+
+    if not _probe_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "audio-sec/sec/chip full encode->SNN->DoA pipeline (7-mic Hilbert-SNN, 449-DoA grid, matched estimator)",
+                    "value": 0.0,
+                    "unit": "audio-sec/sec",
+                    "vs_baseline": 0.0,
+                    "error": "device backend unreachable (tunnel down?)",
+                }
+            )
+        )
+        print(
+            "# ERROR: jax.devices() did not come up within 300 s — the TPU "
+            "tunnel is unreachable; no measurement possible on this host "
+            "right now (see CLAUDE.md / RESULTS.md for recorded numbers)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     import jax
 
