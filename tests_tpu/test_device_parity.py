@@ -130,10 +130,19 @@ np.save({out!r}, np.asarray(rate, np.float32))
 """
 
 
-def test_forward_batch_rate_profile_parity_vs_cpu():
+import pytest
+
+
+@pytest.mark.parametrize(
+    "freq_bands",
+    [[[1600, 1900]], [[1600, 1900], [1900, 2200]]],
+    ids=["one-band", "two-band"],
+)
+def test_forward_batch_rate_profile_parity_vs_cpu(freq_bands):
     """The full encode→SNN→rate chain on the TPU (compiled Pallas kernels)
     matches a fresh CPU process (scan/XLA fallbacks) driving the SAME saved
-    model, to rate-profile tolerance.  Codifies RESULTS.md's
+    model, to rate-profile tolerance — single band and the multiband layout
+    (block encode channels + block hidden neurons).  Codifies RESULTS.md's
     'device-parity-checked' claim as a test artifact."""
     from haghighatshoarmuir2024_tpu import CenterCircularArray
     from haghighatshoarmuir2024_tpu.models.xylo import Demo
@@ -143,7 +152,7 @@ def test_forward_batch_rate_profile_parity_vs_cpu():
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
     demo = Demo(
         geometry=geometry,
-        freq_bands=[[1600, 1900]],
+        freq_bands=freq_bands,
         doa_list=np.linspace(-np.pi, np.pi, 57),
         recording_duration=0.1,
         kernel_duration=5e-3,
