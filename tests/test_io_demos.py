@@ -154,3 +154,15 @@ def test_experiment_figure_helpers(tmp_path, monkeypatch):
     common.fig_lines([0, 1, 2], {"a": [1, 2, 3]}, "lines.pdf", xlabel="t")
     for f in ("pat.pdf", "mae.pdf", "lines.pdf"):
         assert (tmp_path / f).exists() and (tmp_path / f).stat().st_size > 0
+
+
+def test_srp_demo_end_to_end():
+    from haghighatshoarmuir2024_tpu.demos.localization_demo_srp import Demo
+
+    geo = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    doa_true = 0.7
+    grid = np.linspace(-np.pi, np.pi, 129)
+    demo = Demo(geo, [1400, 2100], grid, source=_tone_source(geo, doa=doa_true))
+    est = demo.run(num_frames=2)
+    err = np.rad2deg(np.arcsin(abs(np.sin(np.deg2rad(est[-1]) - doa_true))))
+    assert err < 5.0, est
