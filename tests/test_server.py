@@ -319,3 +319,46 @@ def test_ingest_upsample_carry_semantics(demo):
         np.testing.assert_array_equal(np.asarray(c1)[2], np.asarray(c2)[0])
         # slot 3 (reset, idle): carry zeroed
         np.testing.assert_array_equal(np.asarray(c1)[3], np.zeros((K, M)))
+
+
+def test_server_churn_with_compressed_wire(demo):
+    """Client churn on the compressed stateful wire: slots are reclaimed
+    repeatedly while a persistent stream keeps running — reclaimed slots
+    must localize fresh (zeroed SNN state AND zeroed upsampler history),
+    and the survivor's answers must stay correct throughout."""
+    import time
+
+    from haghighatshoarmuir2024_tpu.runtime.server import WireEncoder
+
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    with LocalizationServer(
+        demo, max_streams=4, chunk_sec=chunk_sec, wire_dtype="u4",
+        wire_upsample=4,
+    ) as srv:
+        srv.start()
+        # persistent stream on slot 3
+        keeper = StreamClient(srv.port, 3)
+        k_enc = WireEncoder("u4", wire_upsample=4)
+        k_sig = _stream_signal(demo, 1.9, 8 * chunk_sec, seed=99)
+        k_sig /= np.abs(k_sig).max() / 0.98
+        k_last = None
+        k_idx = 0
+
+        for round_i in range(3):
+            doa_round = 0.7 if round_i % 2 == 0 else -1.4
+            churn = StreamClient(srv.port, 0)
+            enc = WireEncoder("u4", wire_upsample=4)
+            sig = _stream_signal(demo, doa_round, 2 * chunk_sec, seed=round_i)
+            sig /= np.abs(sig).max() / 0.98
+            last = None
+            for k in range(2):
+                churn.send(enc.encode(sig[k * Tc:(k + 1) * Tc]))
+                keeper.send(k_enc.encode(k_sig[k_idx * Tc:(k_idx + 1) * Tc]))
+                k_idx += 1
+                _, last = churn.recv_doa(timeout=300.0)
+                _, k_last = keeper.recv_doa(timeout=300.0)
+            assert _folded_deg(last, doa_round) < 25.0, (round_i, last)
+            assert _folded_deg(k_last, 1.9) < 25.0, (round_i, k_last)
+            churn.close()
+            time.sleep(0.4)  # let the daemon reap the socket before reclaim
