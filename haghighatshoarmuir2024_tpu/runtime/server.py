@@ -93,12 +93,18 @@ class LocalizationServer:
     and stream PCM (float32, or int16 with ``wire_dtype="i16"`` — half the
     socket and host→device bytes); the server answers with the running DoA
     estimate after every processed chunk.
+
+    Pass ``mesh`` (a ``jax.sharding.Mesh``) to serve over multiple chips:
+    every device program — ingest, reset, the fused serve step — is
+    shard_mapped with the stream axis split over ``mesh_axis`` (pure data
+    parallel, zero collectives; streams are independent).  Validated on the
+    virtual 8-device mesh in tests/test_server.py.
     """
 
     def __init__(self, demo, max_streams: int = 64, chunk_sec: float = 0.25,
                  port: int = 0, method: str | None = None,
                  batch_window_ms: int = 10, wire_dtype: str = "f32",
-                 wire_upsample: int = 1):
+                 wire_upsample: int = 1, mesh=None, mesh_axis: str = "data"):
         self.sl = StreamingLocalizer(demo)
         self.demo = demo
         self.B = int(max_streams)
@@ -158,8 +164,39 @@ class LocalizationServer:
         # per step() stage, for attributing end-to-end serving wall time
         self.stage_times = {"wait": 0.0, "device": 0.0, "route": 0.0, "steps": 0}
         self._timing = os.environ.get("HM2024_SERVE_TIMING") in ("1", "2")
+        # multi-chip serving: shard the stream axis of every device program
+        # over `mesh` (pure data parallel — streams are independent, zero
+        # collectives; see StreamingLocalizer.make_sharded_step).  The stream
+        # count must divide the mesh axis; on TPU the per-device slice should
+        # satisfy the Pallas batch rules (B/n % 4 == 0 or 1).
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        if mesh is not None and self.B % int(mesh.shape[mesh_axis]):
+            raise ValueError("max_streams must divide the mesh axis size")
         self._state = self.sl.init_state(batch=self.B)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._stream_sharding = NamedSharding(mesh, P(mesh_axis))
+            self._state = jax.device_put(self._state, self._stream_sharding)
         self._build_jits()
+
+    def _wrap_streams(self, fn, n_stream_args, n_repl_args=0, out_streams=1):
+        """jit `fn`; under a mesh, shard_map it with the first
+        ``n_stream_args`` args (pytrees) split on the stream axis and the
+        next ``n_repl_args`` replicated.  All outputs are stream-sharded."""
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+
+        specs_in = (P(self.mesh_axis),) * n_stream_args + (P(),) * n_repl_args
+        specs_out = (
+            P(self.mesh_axis) if out_streams == 1 else (P(self.mesh_axis),) * out_streams
+        )
+        return jax.jit(
+            jax.shard_map(fn, mesh=self.mesh, in_specs=specs_in,
+                          out_specs=specs_out)
+        )
 
     # ---- jitted helpers -------------------------------------------------
     def _build_jits(self):
@@ -232,11 +269,12 @@ class LocalizationServer:
             # carried history (idle lanes hold; see ops/resample.py)
             up = self.wire_upsample
             hp = phase_table(design_upsample_fir(up), up)  # numpy literal
-            self._wire_carry = jax.device_put(
-                np.zeros((self.B, TAPS_PER_PHASE - 1, self.M), np.float32)
-            )
+            carry0_np = np.zeros((self.B, TAPS_PER_PHASE - 1, self.M), np.float32)
+            if self.mesh is not None:
+                self._wire_carry = jax.device_put(carry0_np, self._stream_sharding)
+            else:
+                self._wire_carry = jax.device_put(carry0_np)
 
-            @jax.jit
             def ingest_up(raw, carry, activef, resetf):
                 rm = (resetf > 0.5)[:, None, None]
                 am = (activef > 0.5)[:, None, None]
@@ -244,25 +282,28 @@ class LocalizationServer:
                 y, adv = upsample_poly_stream(decode(raw), carry0, hp, up)
                 return y, jnp.where(am, adv, carry0)
 
-            @jax.jit
             def reset_carry(carry, resetf):
                 return jnp.where((resetf > 0.5)[:, None, None], 0.0, carry)
 
-            self._ingest_up, self._reset_carry = ingest_up, reset_carry
+            self._ingest_up = self._wrap_streams(ingest_up, 4, out_streams=2)
+            self._reset_carry = self._wrap_streams(reset_carry, 2)
             ingest = None
         else:
             self._wire_carry = None
-            ingest = jax.jit(decode)
+            ingest = self._wrap_streams(decode, 1)
 
-        @jax.jit
         def reset(state, resetf):
-            zeros = self.sl.init_state(batch=self.B)
+            # batch from the arg shape: under shard_map this body sees the
+            # LOCAL per-device stream slice, not the global B
+            zeros = self.sl.init_state(batch=resetf.shape[0])
 
             def sel(z, o):
                 m = (resetf > 0.5).reshape((-1,) + (1,) * (z.ndim - 1))
                 return jnp.where(m, z, o)
 
             return jax.tree.map(sel, zeros, state)
+
+        reset = self._wrap_streams(reset, 2)
 
         def doas_impl(state, dl, prof_t):
             steps = jnp.maximum(state.steps, 1)
@@ -283,10 +324,12 @@ class LocalizationServer:
 
         # ONE fused program for zero-reclaimed-slots -> advance all streams
         # -> masked-merge -> estimate; chunks arrive DEVICE-RESIDENT from
-        # the ingest program, so this program never touches the host.
-        @jax.jit
+        # the ingest program, so this program never touches the host.  Under
+        # a mesh the whole program is shard_mapped on the stream axis (the
+        # estimator's profile matmul is replicated; everything else is
+        # per-stream elementwise — zero collectives).
         def serve_step(state, chunks, activef, resetf, dl, prof_t):
-            zeros = self.sl.init_state(batch=self.B)
+            zeros = self.sl.init_state(batch=resetf.shape[0])
 
             def selz(z, o):
                 m = (resetf > 0.5).reshape((-1,) + (1,) * (z.ndim - 1))
@@ -302,6 +345,8 @@ class LocalizationServer:
             state = jax.tree.map(sel, new_state, state)
             return state, doas_impl(state, dl, prof_t)
 
+        serve_step = self._wrap_streams(serve_step, 4, n_repl_args=2,
+                                        out_streams=2)
         self._ingest, self._reset, self._serve_step = ingest, reset, serve_step
 
     # ---- serving loop ---------------------------------------------------

@@ -362,3 +362,47 @@ def test_server_churn_with_compressed_wire(demo):
             assert _folded_deg(k_last, 1.9) < 25.0, (round_i, k_last)
             churn.close()
             time.sleep(0.4)  # let the daemon reap the socket before reclaim
+
+
+def test_server_multichip_mesh_localizes(demo):
+    """Multi-chip serving daemon: every device program (ingest, reset, the
+    fused serve step) shard_mapped over the virtual 8-device mesh, streams
+    split one-per-device — answers match the physics through real sockets
+    and the compressed stateful wire."""
+    from haghighatshoarmuir2024_tpu.parallel.mesh import make_mesh
+    from haghighatshoarmuir2024_tpu.runtime.server import WireEncoder
+
+    mesh = make_mesh(8, shape=(8, 1))
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    doas_true = {0: 0.7, 3: -1.4, 6: 2.3}
+    with LocalizationServer(
+        demo, max_streams=8, chunk_sec=chunk_sec, wire_dtype="u4",
+        wire_upsample=4, mesh=mesh,
+    ) as srv:
+        srv.start()
+        clients = {sid: StreamClient(srv.port, sid) for sid in doas_true}
+        encs = {sid: WireEncoder("u4", wire_upsample=4) for sid in doas_true}
+        sigs = {}
+        for sid, d in doas_true.items():
+            s = _stream_signal(demo, d, 3 * chunk_sec, seed=40 + sid)
+            sigs[sid] = s / np.abs(s).max() * 0.98
+        got = {}
+        for k in range(3):
+            for sid, c in clients.items():
+                c.send(encs[sid].encode(sigs[sid][k * Tc:(k + 1) * Tc]))
+            for sid, c in clients.items():
+                rid, doa = c.recv_doa(timeout=300.0)
+                assert rid == sid
+                got[sid] = doa
+        for sid, d_true in doas_true.items():
+            assert _folded_deg(got[sid], d_true) < 25.0, (sid, got[sid], d_true)
+        # the carried state is genuinely mesh-sharded
+        assert srv._state.counts.sharding.is_equivalent_to(
+            srv._stream_sharding, srv._state.counts.ndim
+        )
+        for c in clients.values():
+            c.close()
+
+    with pytest.raises(ValueError):
+        LocalizationServer(demo, max_streams=6, mesh=mesh)
