@@ -272,3 +272,22 @@ def test_sharded_serving_step_matches_unsharded(demo):
     da = np.asarray(sl.estimate_doa(st_ref))
     db = np.asarray(sl.estimate_doa(st_sh))
     np.testing.assert_array_equal(da, db)
+
+
+def test_sharded_serving_step_has_no_collectives(demo):
+    """The multi-chip serving layout claims ZERO cross-device communication
+    (streams are independent).  Machine-check it: the compiled HLO of the
+    mesh-sharded step contains no collective ops at all."""
+    from haghighatshoarmuir2024_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    sl = StreamingLocalizer(demo)
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, PS("data"))
+    state = jax.device_put(sl.init_state(batch=8), sh)
+    chunks = jax.device_put(jnp.zeros((8, 6000, 7), jnp.float32), sh)
+    step = sl.make_sharded_step(mesh)
+    txt = step.lower(state, chunks).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, f"unexpected collective {op} in serving HLO"
