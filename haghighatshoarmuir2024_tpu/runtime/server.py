@@ -104,7 +104,8 @@ class LocalizationServer:
     def __init__(self, demo, max_streams: int = 64, chunk_sec: float = 0.25,
                  port: int = 0, method: str | None = None,
                  batch_window_ms: int = 10, wire_dtype: str = "f32",
-                 wire_upsample: int = 1, mesh=None, mesh_axis: str = "data"):
+                 wire_upsample: int = 1, mesh=None, mesh_axis: str = "data",
+                 forget: float | None = None):
         self.sl = StreamingLocalizer(demo)
         self.demo = demo
         self.B = int(max_streams)
@@ -173,12 +174,29 @@ class LocalizationServer:
         self.mesh_axis = mesh_axis
         if mesh is not None and self.B % int(mesh.shape[mesh_axis]):
             raise ValueError("max_streams must divide the mesh axis size")
+        # moving-source tracking: `forget` in [0, 1) makes the DoA answer
+        # follow an exponentially-forgotten spike-count profile
+        # (ema' = forget * ema + chunk_counts) instead of the all-history
+        # cumulative counts, so a source that MOVES mid-stream is tracked
+        # with an effective window of ~chunk/(1-forget) seconds.  The
+        # carried SNN/encode state is untouched — only the estimator's
+        # evidence window changes.  None (default) = reference-shaped
+        # cumulative behavior.
+        if forget is not None and not (0.0 <= float(forget) < 1.0):
+            raise ValueError("forget must be in [0, 1)")
+        self.forget = None if forget is None else float(forget)
         self._state = self.sl.init_state(batch=self.B)
+        self._ema = None
+        if self.forget is not None:
+            n_hidden = self._state.counts.shape[-1]
+            self._ema = jnp.zeros((self.B, n_hidden), jnp.float32)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._stream_sharding = NamedSharding(mesh, P(mesh_axis))
             self._state = jax.device_put(self._state, self._stream_sharding)
+            if self._ema is not None:
+                self._ema = jax.device_put(self._ema, self._stream_sharding)
         self._build_jits()
 
     def _wrap_streams(self, fn, n_stream_args, n_repl_args=0, out_streams=1):
@@ -305,20 +323,25 @@ class LocalizationServer:
 
         reset = self._wrap_streams(reset, 2)
 
-        def doas_impl(state, dl, prof_t):
-            steps = jnp.maximum(state.steps, 1)
-            r = state.counts.astype(jnp.float32) / steps[..., None] * fs
+        def _estimate(r, dl, prof_t):
             r = r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
             if matched:
                 rc = r - jnp.mean(r, axis=-1, keepdims=True)
                 # f32-exact scoring: the TPU's default bf16 matmul can flip
                 # near-tie argmaxes over the DoA grid (CLAUDE.md landmine);
-                # off the hot path, cost is negligible
+                # off the hot path, cost is negligible.  Argmax over the
+                # correlation is invariant to positive scaling of r, so the
+                # cumulative rate and the forgetting EMA share this path.
                 scores = jnp.matmul(
                     rc, prof_t, precision=jax.lax.Precision.HIGHEST
                 )
                 return dl[jnp.argmax(scores, axis=-1)]
             return dl[jnp.argmax(r, axis=-1)]
+
+        def doas_impl(state, dl, prof_t):
+            steps = jnp.maximum(state.steps, 1)
+            r = state.counts.astype(jnp.float32) / steps[..., None] * fs
+            return _estimate(r, dl, prof_t)
 
         step_fn = self.sl._step_jit_batched_nospikes
 
@@ -328,7 +351,7 @@ class LocalizationServer:
         # a mesh the whole program is shard_mapped on the stream axis (the
         # estimator's profile matmul is replicated; everything else is
         # per-stream elementwise — zero collectives).
-        def serve_step(state, chunks, activef, resetf, dl, prof_t):
+        def _advance(state, chunks, activef, resetf):
             zeros = self.sl.init_state(batch=resetf.shape[0])
 
             def selz(z, o):
@@ -342,11 +365,34 @@ class LocalizationServer:
                 m = (activef > 0.5).reshape((-1,) + (1,) * (nw.ndim - 1))
                 return jnp.where(m, nw, o)
 
-            state = jax.tree.map(sel, new_state, state)
-            return state, doas_impl(state, dl, prof_t)
+            return state, jax.tree.map(sel, new_state, state)
 
-        serve_step = self._wrap_streams(serve_step, 4, n_repl_args=2,
-                                        out_streams=2)
+        if self.forget is None:
+            def serve_step(state, chunks, activef, resetf, dl, prof_t):
+                _, state = _advance(state, chunks, activef, resetf)
+                return state, doas_impl(state, dl, prof_t)
+
+            serve_step = self._wrap_streams(serve_step, 4, n_repl_args=2,
+                                            out_streams=2)
+        else:
+            gamma = self.forget
+
+            def serve_step(state, ema, chunks, activef, resetf, dl, prof_t):
+                prev, state = _advance(state, chunks, activef, resetf)
+                ema = jnp.where((resetf > 0.5)[:, None], 0.0, ema)
+                # per-chunk spike counts: the merged state already holds the
+                # pre-advance counts for idle lanes, so chunk = new - prev(=0)
+                chunk_counts = (state.counts - prev.counts).astype(jnp.float32)
+                ema = jnp.where(
+                    (activef > 0.5)[:, None], gamma * ema + chunk_counts, ema
+                )
+                return state, ema, _estimate(ema, dl, prof_t)
+
+            serve_step = self._wrap_streams(serve_step, 5, n_repl_args=2,
+                                            out_streams=3)
+            self._reset_ema = self._wrap_streams(
+                lambda e, rf: jnp.where((rf > 0.5)[:, None], 0.0, e), 2
+            )
         self._ingest, self._reset, self._serve_step = ingest, reset, serve_step
 
     # ---- serving loop ---------------------------------------------------
@@ -380,6 +426,8 @@ class LocalizationServer:
                     self._wire_carry = self._reset_carry(
                         self._wire_carry, reset_mask
                     )
+                if self._ema is not None:
+                    self._ema = self._reset_ema(self._ema, reset_mask)
             if self._timing:
                 self.stage_times["wait"] += t1 - t0
             return 0
@@ -398,10 +446,16 @@ class LocalizationServer:
             )
         else:
             chunks_dev = self._ingest(self._data_buf)
-        self._state, doa_dev = self._serve_step(
-            self._state, chunks_dev, active, reset_mask,
-            self._dl_dev, self._prof_dev,
-        )
+        if self._ema is not None:
+            self._state, self._ema, doa_dev = self._serve_step(
+                self._state, self._ema, chunks_dev, active, reset_mask,
+                self._dl_dev, self._prof_dev,
+            )
+        else:
+            self._state, doa_dev = self._serve_step(
+                self._state, chunks_dev, active, reset_mask,
+                self._dl_dev, self._prof_dev,
+            )
         all_doas = np.asarray(doa_dev, np.float32)
         t2 = _time.monotonic() if self._timing else 0.0
         out_ids = (ctypes.c_uint32 * n)(*ids.tolist())

@@ -406,3 +406,48 @@ def test_server_multichip_mesh_localizes(demo):
 
     with pytest.raises(ValueError):
         LocalizationServer(demo, max_streams=6, mesh=mesh)
+
+
+def test_server_forget_tracks_moving_source(demo):
+    """Moving-source tracking (forget=gamma): a source that JUMPS DoA
+    mid-stream is re-acquired within ~1/(1-gamma) chunks, while the default
+    cumulative estimator stays biased toward the stale angle with the same
+    chunk budget."""
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    doa_a, doa_b = 0.7, -1.4
+    n_a, n_b = 4, 3
+
+    sig_a = _stream_signal(demo, doa_a, n_a * chunk_sec, seed=1)
+    sig_b = _stream_signal(demo, doa_b, n_b * chunk_sec, seed=2)
+    sig = np.concatenate([sig_a, sig_b], axis=0)
+
+    def run(forget):
+        with LocalizationServer(
+            demo, max_streams=2, chunk_sec=chunk_sec, forget=forget,
+        ) as srv:
+            srv.start()
+            c = StreamClient(srv.port, 0)
+            last = None
+            for k in range(n_a + n_b):
+                c.send(sig[k * Tc:(k + 1) * Tc])
+                _, last = c.recv_doa(timeout=300.0)
+            c.close()
+            return last
+
+    est_track = run(forget=0.4)
+    est_cumul = run(forget=None)
+    err_track = _folded_deg(est_track, doa_b)
+    err_cumul = _folded_deg(est_cumul, doa_b)
+    # tracking re-acquires the new angle...
+    assert err_track < 25.0, (est_track, err_track)
+    # ...and beats the cumulative estimator, which still carries 4 chunks of
+    # evidence from the old angle against 3 of the new
+    assert err_track < err_cumul - 5.0 or err_cumul > 45.0, (
+        err_track, err_cumul,
+    )
+
+
+def test_server_forget_validation(demo):
+    with pytest.raises(ValueError):
+        LocalizationServer(demo, forget=1.0)
