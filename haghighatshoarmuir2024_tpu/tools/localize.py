@@ -1,0 +1,153 @@
+"""Offline file localization CLI.
+
+The reference only localizes LIVE (sox capture loops in the demos,
+micloc/localization_demo*.py); there is no "point it at a recording" path.
+This tool closes that: feed a multi-channel wav/flac (or a mono file plus
+``--simulate-doa`` to propagate it through a synthetic array) and get one
+DoA estimate per frame as JSON lines.
+
+Usage::
+
+    python -m haghighatshoarmuir2024_tpu.tools.localize recording.wav \
+        --model xylo --band 1600 1900 --frame 0.25
+
+Models: ``xylo`` (quantized SNN pipeline, matched estimator after a cached
+calibration), ``hilbert`` (non-SNN beamformer), ``srp`` (classical SRP-PHAT
+baseline).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _build_estimator(model, geometry, band, doa_list, frame, fs,
+                     calibrate=True):
+    import jax.numpy as jnp
+
+    if model == "xylo":
+        from ..models.xylo import Demo
+
+        demo = Demo(
+            geometry=geometry, freq_bands=[list(band)], doa_list=doa_list,
+            recording_duration=frame, kernel_duration=10e-3,
+            bipolar_spikes=True, fs=fs,
+        )
+        method = "peak"
+        if calibrate:
+            demo.calibrate_profiles()
+            method = "matched"
+        return lambda x: float(demo.forward_batch(
+            jnp.asarray(x, jnp.float32)[None], method=method)[0][0])
+    if model == "hilbert":
+        from ..models.beamformer import Beamformer
+
+        bf = Beamformer(geometry, kernel_duration=10e-3,
+                        freq_range=list(band), fs=fs)
+        t = np.arange(0, frame, 1 / fs)
+        sig = np.sin(2 * np.pi * float(np.mean(band)) * t)
+        from ..utils import to_numpy
+
+        bf_mat = to_numpy(bf.design_from_template((t, sig), doa_list)[0])
+        grid = jnp.asarray(doa_list)
+
+        def est(x):
+            out = bf.apply_to_signal(bf_mat, jnp.asarray(x, jnp.float32))
+            power = jnp.mean(jnp.abs(out) ** 2, axis=0)
+            return float(grid[int(jnp.argmax(power))])
+
+        return est
+    if model == "srp":
+        from ..models.srp_phat import SRPPHAT
+
+        srp = SRPPHAT(geometry, freq_range=list(band), doa_list=doa_list,
+                      fs=fs, frame_duration=frame)
+        return lambda x: float(srp.estimate(x))
+    raise ValueError(f"unknown model {model!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="haghighatshoarmuir2024_tpu.tools.localize",
+        description="Offline DoA localization of an audio file.",
+    )
+    p.add_argument("audio", help="wav/flac path (multi-channel, or mono "
+                                 "with --simulate-doa)")
+    p.add_argument("--model", default="xylo",
+                   choices=["xylo", "hilbert", "srp"])
+    p.add_argument("--band", nargs=2, type=float, default=[1600.0, 1900.0])
+    p.add_argument("--grid", type=int, default=225)
+    p.add_argument("--frame", type=float, default=0.25)
+    p.add_argument("--fs", type=float, default=48_000.0)
+    p.add_argument("--radius", type=float, default=4.5e-2)
+    p.add_argument("--num-mic", type=int, default=7)
+    p.add_argument("--simulate-doa", type=float, default=None,
+                   help="mono input: propagate through a synthetic array "
+                        "at this DoA (radians)")
+    p.add_argument("--snr-db", type=float, default=None,
+                   help="with --simulate-doa: add white noise at this SNR")
+    p.add_argument("--no-calibrate", action="store_true",
+                   help="xylo: reference-parity peak estimator instead of "
+                        "the calibrated matched estimator")
+    p.add_argument("--max-frames", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..geometry import CenterCircularArray
+    from ..io.audio import FileAudioSource
+
+    geometry = CenterCircularArray(radius=args.radius, num_mic=args.num_mic)
+    doa_list = np.linspace(-np.pi, np.pi, args.grid)
+    src = FileAudioSource(args.audio, fs=args.fs)
+
+    est = _build_estimator(
+        args.model, geometry, args.band, doa_list, args.frame, args.fs,
+        calibrate=not args.no_calibrate,
+    )
+
+    rng = np.random.default_rng(0)
+    results = []
+    for i, chunk in enumerate(src.frames(args.frame)):
+        if args.max_frames is not None and i >= args.max_frames:
+            break
+        if args.simulate_doa is not None:
+            if chunk.shape[1] != 1:
+                print("--simulate-doa needs a mono file", file=sys.stderr)
+                return 2
+            from ..ops.interp import signal_from_template
+
+            t = np.arange(chunk.shape[0]) / args.fs
+            x = np.asarray(signal_from_template(
+                geometry, t, chunk[:, 0], args.simulate_doa, fs=args.fs))
+            if args.snr_db is not None:
+                sigma = np.sqrt((x**2).mean() / 10 ** (args.snr_db / 10))
+                x = x + sigma * rng.standard_normal(x.shape)
+        else:
+            if chunk.shape[1] < args.num_mic:
+                print(
+                    f"file has {chunk.shape[1]} channels, need "
+                    f"{args.num_mic} (or use --simulate-doa)",
+                    file=sys.stderr,
+                )
+                return 2
+            x = chunk[:, : args.num_mic]
+        doa = est(x.astype(np.float32))
+        rec = {"frame": i, "t_sec": round(i * args.frame, 3),
+               "doa_rad": round(doa, 4),
+               "doa_deg": round(float(np.rad2deg(doa)), 2)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if results:
+        doas = np.array([r["doa_rad"] for r in results])
+        med = float(np.angle(np.mean(np.exp(1j * doas))))
+        print(json.dumps({"frames": len(results),
+                          "doa_circmean_deg": round(np.rad2deg(med), 2)}),
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
