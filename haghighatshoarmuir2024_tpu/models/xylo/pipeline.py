@@ -623,11 +623,7 @@ class Demo:
 
         stht_method = _stht_method()
 
-        from ...ops.peaks import local_extrema_mask_bounded
-        from ...ops.pallas.suppress_kernel import (
-            rzcc_encode_bipolar_tm,
-            select_by_distance_tm,
-        )
+        from ...ops.pallas.suppress_kernel import rzcc_encode_bipolar_tm
 
         @jax.jit
         def fwd(sig_batch):
@@ -653,14 +649,15 @@ class Demo:
                     cfg, kp.reshape(T, B, C), kn.reshape(T, B, C), spike_bound=1
                 )
             else:
-                cs_rt = jnp.moveaxis(cs_tm, 0, -1)
-                maxima, _ = local_extrema_mask_bounded(cs_rt, 2 * robust_width)
-                masks = select_by_distance_tm(
-                    jnp.moveaxis(maxima, -1, 0).reshape(T, B * C),
-                    cs_tm.reshape(T, B * C),
-                    robust_width,
+                # unipolar = the positive plane of the fused bipolar kernel
+                # (maxima of +cs, heights +cs): ONE HBM pass computes extrema
+                # + suppression in-register instead of an XLA extrema sweep
+                # plus a separate suppression launch.  The unused negative
+                # plane costs only in-register VPU work.
+                kp, _ = rzcc_encode_bipolar_tm(
+                    cs_tm.reshape(T, B * C), robust_width, 2 * robust_width
                 )
-                enc_tbc = masks.reshape(T, B, C).astype(jnp.int8)
+                enc_tbc = kp.reshape(T, B, C).astype(jnp.int8)
                 counts = lif_count_rates(cfg, enc_tbc, time_major=True, spike_bound=1)
             rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
