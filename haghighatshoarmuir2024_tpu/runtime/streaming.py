@@ -254,19 +254,13 @@ class StreamingLocalizer:
             return kp, kn
 
         def decide_batch_unipolar(analysis_b, Tc):
-            from ..ops.peaks import local_extrema_mask_bounded
-            from ..ops.pallas.suppress_kernel import select_by_distance_tm
+            # unipolar = the positive plane of the fused kernel (maxima of
+            # +cs, heights +cs): one HBM pass, same as the offline pipeline
+            from ..ops.pallas.suppress_kernel import rzcc_encode_bipolar_tm
 
             L, B, C = analysis_b.shape
-            maxima, _ = local_extrema_mask_bounded(
-                jnp.moveaxis(analysis_b, 0, -1), 2 * rw
-            )
-            masks = select_by_distance_tm(
-                jnp.moveaxis(maxima, -1, 0).reshape(L, B * C),
-                analysis_b.reshape(L, B * C),
-                rw,
-            )
-            return masks[guard : guard + Tc].reshape(Tc, B, C).astype(jnp.int8)
+            kp, _ = rzcc_encode_bipolar_tm(analysis_b.reshape(L, B * C), rw, 2 * rw)
+            return kp[guard : guard + Tc].reshape(Tc, B, C).astype(jnp.int8)
 
         @jax.jit
         def step(state: StreamState, chunk):
