@@ -12,7 +12,6 @@ Usage: python experiments/wire_accuracy.py
 import json
 
 import numpy as np
-import jax
 
 from common import FS, sinusoid_template
 
