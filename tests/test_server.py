@@ -451,3 +451,51 @@ def test_server_forget_tracks_moving_source(demo):
 def test_server_forget_validation(demo):
     with pytest.raises(ValueError):
         LocalizationServer(demo, forget=1.0)
+
+
+def test_server_survives_client_fuzz(demo):
+    """Protocol fuzz: garbage hellos, fragmented frames, mid-frame
+    disconnects, and oversized element counts must never wedge or kill the
+    daemon — a well-behaved client afterwards still gets correct answers."""
+    import socket as sk
+    import struct as st
+    import time
+
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    rng = np.random.default_rng(7)
+    with LocalizationServer(demo, max_streams=4, chunk_sec=chunk_sec) as srv:
+        srv.start()
+        for i in range(8):
+            s = sk.create_connection(("127.0.0.1", srv.port))
+            kind = i % 4
+            try:
+                if kind == 0:  # wrong magic -> rejected
+                    s.sendall(st.pack("<II", 0xDEADBEEF, 1))
+                    s.settimeout(5.0)
+                    assert s.recv(1) == b""
+                elif kind == 1:  # valid hello, absurd n_elems -> dropped conn
+                    s.sendall(st.pack("<II", 0x484D3234, 1))
+                    s.sendall(st.pack("<I", 0xFFFFFFFF))
+                elif kind == 2:  # valid hello, fragmented partial frame, die
+                    s.sendall(st.pack("<II", 0x484D3234, 1))
+                    payload = rng.standard_normal(333).astype(np.float32)
+                    s.sendall(st.pack("<I", payload.size))
+                    s.sendall(payload.tobytes()[: 7 * 13])  # mid-element cut
+                else:  # out-of-range stream id -> rejected
+                    s.sendall(st.pack("<II", 0x484D3234, 99))
+                    s.settimeout(5.0)
+                    assert s.recv(1) == b""
+            finally:
+                s.close()
+            time.sleep(0.05)
+
+        time.sleep(0.5)  # let the daemon reap everything
+        good = StreamClient(srv.port, 2)
+        sig = _stream_signal(demo, 0.7, 2 * chunk_sec, seed=8)
+        last = None
+        for k in range(2):
+            good.send(sig[k * Tc:(k + 1) * Tc])
+            _, last = good.recv_doa(timeout=300.0)
+        assert _folded_deg(last, 0.7) < 25.0, last
+        good.close()
