@@ -379,6 +379,8 @@ class Demo:
             arrays[f"bf_{i}"] = m
         if getattr(self, "_profiles", None) is not None:
             arrays["profiles"] = np.asarray(self._profiles)
+        if getattr(self, "_profiles_stacked", None) is not None:
+            arrays["profiles_stacked"] = np.asarray(self._profiles_stacked)
         np.savez(path, **arrays)
 
     @classmethod
@@ -438,10 +440,13 @@ class Demo:
         self.xylo = XyloSim.from_config(self.xylo_config, output_mode="Spike", dt=float(dt))
         if "profiles" in z:
             self._profiles = jnp.asarray(z["profiles"])
+        if "profiles_stacked" in z:
+            self._profiles_stacked = jnp.asarray(z["profiles_stacked"])
         return self
 
     # ------------------------------------------------------ matched profiles
-    def calibrate_profiles(self, template=None, batch: int = 32, use_cache: bool = True):
+    def calibrate_profiles(self, template=None, batch: int = 32, use_cache: bool = True,
+                           band_stacked: bool = False):
         """Build the G×G matched-profile table: row g = the hidden-rate profile
         the quantized pipeline produces for a noiseless source at grid DoA g.
 
@@ -452,6 +457,16 @@ class Demo:
         calibrated templates removes the bias by construction.  Calibration
         costs one batched noiseless forward per grid point (~0.1 s of device
         time at benchmark scale) and is cached with the design.
+
+        ``band_stacked=True`` (multi-band only) calibrates a G×(F·G) table of
+        the *unfolded* per-band hidden rates instead of the reference's
+        band-averaged fold (micloc/xylo_snn_localization.py:379-398 folds F
+        band blocks into one G profile before estimating).  Each band's
+        angular response is matched separately and the correlation scores
+        add coherently, so a band where the evaluation signal has little
+        energy contributes noise-floor correlation instead of diluting the
+        folded profile.  Stored as ``_profiles_stacked`` and used by
+        ``forward_batch(method="matched_stacked")``.
         """
         from ...ops.interp import signal_from_template
         from ...utils.cache import DesignCache, design_cache_key
@@ -464,7 +479,7 @@ class Demo:
 
         cache = DesignCache() if use_cache else None
         key = design_cache_key(
-            kind="profiles",
+            kind="profiles_stacked" if band_stacked else "profiles",
             r_vec=self.geometry.r_vec,
             theta_vec=self.geometry.theta_vec,
             freq_bands=self.freq_bands,
@@ -478,8 +493,12 @@ class Demo:
         )
         cached = cache.load(key) if cache else None
         if cached is not None:
-            self._profiles = jnp.asarray(cached["profiles"])
-            return self._profiles
+            out = jnp.asarray(cached["profiles"])
+            if band_stacked:
+                self._profiles_stacked = out
+            else:
+                self._profiles = out
+            return out
 
         G = len(self.doa_list)
         profs = []
@@ -491,17 +510,24 @@ class Demo:
                     for d in doas
                 ]
             )
-            _, rates = self.forward_batch(frames)
+            if band_stacked:
+                rates = self._rates_batch_jit(jnp.asarray(frames, jnp.float32))
+            else:
+                _, rates = self.forward_batch(frames)
             profs.append(np.asarray(rates))
-        profiles = np.concatenate(profs, axis=0)  # (G, G)
+        profiles = np.concatenate(profs, axis=0)  # (G, G) or (G, F*G)
         # normalize rows (correlation-style matching)
         profiles = profiles - profiles.mean(axis=1, keepdims=True)
         norms = np.linalg.norm(profiles, axis=1, keepdims=True)
         profiles = profiles / np.maximum(norms, 1e-12)
         if cache is not None:
             cache.save(key, {"profiles": profiles})
-        self._profiles = jnp.asarray(profiles)
-        return self._profiles
+        out = jnp.asarray(profiles)
+        if band_stacked:
+            self._profiles_stacked = out
+        else:
+            self._profiles = out
+        return out
 
     # ------------------------------------------------------------- jitted path
     def forward(self, sig_in):
@@ -582,10 +608,16 @@ class Demo:
         ``method="peak"`` is the reference-parity argmax estimator
         (micloc/xylo_snn_localization.py:400-444); ``method="matched"`` applies
         the calibrated matched-profile estimator inside the same jitted
-        program (requires :meth:`calibrate_profiles`)."""
+        program (requires :meth:`calibrate_profiles`);
+        ``method="matched_stacked"`` matches the unfolded per-band rates
+        against the G×(F·G) stacked table (requires
+        ``calibrate_profiles(band_stacked=True)``; the returned rate is still
+        the reference-folded (B, G) profile)."""
         sig_batch = jnp.asarray(sig_batch, jnp.float32)
         if method == "matched":
             return self._forward_batch_matched_jit(sig_batch)
+        if method == "matched_stacked":
+            return self._forward_batch_matched_stacked_jit(sig_batch)
         return self._forward_batch_jit(sig_batch)
 
     @functools.cached_property
@@ -609,14 +641,16 @@ class Demo:
         return fwd
 
     @functools.cached_property
-    def _forward_batch_jit(self):
+    def _rates_batch_jit(self):
+        """(B, T, M) audio → UNFOLDED hidden-rate matrix (B, H) with
+        H = F·G band blocks in band-major order (the pre-fold quantity of
+        micloc/xylo_snn_localization.py:379-398).  Shared body of every
+        batched forward; the folded paths are thin wrappers."""
         kernel = jnp.asarray(self.beamfs[0].kernel, dtype=jnp.float32)
         cfg = self.xylo_config
         bas = self._bas
         robust_width = self.beamfs[0].robust_width
         bipolar = self.bipolar_spikes
-        doa_list = jnp.asarray(self.doa_list)
-        num_DoA = len(self.doa_list)
         fs = self.fs
 
         from ...ops.pallas.lif_kernel import lif_count_rates, lif_count_rates_bipolar
@@ -626,7 +660,7 @@ class Demo:
         from ...ops.pallas.suppress_kernel import rzcc_encode_bipolar_tm
 
         @jax.jit
-        def fwd(sig_batch):
+        def rates(sig_batch):
             # time-major end-to-end: the encode is naturally (T, ...) inside,
             # so vmapping to (T, B, C) costs nothing and the (B·C, T)→(T, B·C)
             # transpose between encode and suppression disappears
@@ -659,9 +693,51 @@ class Demo:
                 )
                 enc_tbc = kp.reshape(T, B, C).astype(jnp.int8)
                 counts = lif_count_rates(cfg, enc_tbc, time_major=True, spike_bound=1)
-            rate = counts.astype(jnp.float32) / T * fs
+            return counts.astype(jnp.float32) / T * fs
+
+        return rates
+
+    @functools.cached_property
+    def _forward_batch_jit(self):
+        rates_fn = self._rates_batch_jit
+        doa_list = jnp.asarray(self.doa_list)
+        num_DoA = len(self.doa_list)
+
+        @jax.jit
+        def fwd(sig_batch):
+            rate = rates_fn(sig_batch)
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             doa = doa_list[jnp.argmax(rate_doa, axis=-1)]
+            return doa, rate_doa
+
+        return fwd
+
+    @functools.cached_property
+    def _forward_batch_matched_stacked_jit(self):
+        """Batched forward with the band-stacked matched estimator: the
+        UNFOLDED (B, F·G) rates are correlated against the G×(F·G) stacked
+        calibration table (see :meth:`calibrate_profiles`), so each band's
+        angular response is matched in its own coordinates before the
+        per-band evidence is summed.  Returns (doa (B,), folded rate (B, G))
+        — same contract as the other batched forwards."""
+        if getattr(self, "_profiles_stacked", None) is None:
+            raise ValueError(
+                "call calibrate_profiles(band_stacked=True) before the "
+                "stacked matched forward"
+            )
+        rates_fn = self._rates_batch_jit
+        profiles = jnp.asarray(self._profiles_stacked, jnp.float32)
+        doa_list = jnp.asarray(self.doa_list)
+        num_DoA = len(self.doa_list)
+
+        @jax.jit
+        def fwd(sig_batch):
+            rate = rates_fn(sig_batch)
+            r = rate - jnp.mean(rate, axis=-1, keepdims=True)
+            # (B, H) @ (H, G); f32-exact — bf16 default can flip near-ties
+            scores = jnp.matmul(r, profiles.T, precision=jax.lax.Precision.HIGHEST)
+            doa = doa_list[jnp.argmax(scores, axis=-1)]
+            rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             return doa, rate_doa
 
         return fwd

@@ -427,3 +427,57 @@ def test_matched_profile_estimator_unipolar():
         errs_noisy.append(np.rad2deg(np.arcsin(abs(np.sin(est_n - doa_true)))))
     assert max(errs_clean) <= 2.0 * grid_step, errs_clean
     assert max(errs_noisy) <= 3.0 * grid_step, errs_noisy
+
+
+def test_band_stacked_matched_estimator():
+    """Band-stacked matched profiles (calibrate_profiles(band_stacked=True)):
+    the G x (F*G) table matches the unfolded per-band rates; noiseless
+    estimates land within one grid step, the stacked table has F*G columns,
+    and the returned rate keeps the reference-folded (B, G) contract."""
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 33)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    t = np.arange(0, 0.1, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
+    prof = np.asarray(d.calibrate_profiles(template=(t, sig), use_cache=False,
+                                           band_stacked=True))
+    assert prof.shape == (33, 2 * 33)
+    # rows are mean-removed and unit-norm (correlation matching)
+    np.testing.assert_allclose(prof.mean(axis=1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(prof, axis=1), 1.0, atol=1e-5)
+
+    doas_true = np.array([-2.0, 0.5, 2.5])
+    frames = jnp.stack([
+        jnp.asarray(signal_from_template(d.geometry, t, sig, float(x), fs=FS))
+        for x in doas_true
+    ])
+    doa, rate = d.forward_batch(frames, method="matched_stacked")
+    assert np.asarray(rate).shape == (3, 33)
+    step = np.degrees(grid[1] - grid[0])
+    err = np.degrees(np.arcsin(np.abs(np.sin(np.asarray(doa) - doas_true))))
+    assert np.all(err <= step + 1e-6), err
+
+    # requires the stacked calibration
+    d2 = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    with pytest.raises(ValueError, match="band_stacked"):
+        d2.forward_batch(frames, method="matched_stacked")
