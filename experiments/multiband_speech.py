@@ -106,7 +106,7 @@ def _mc_config(demo, t_sp, sig_sp, num_sims, seed, chunk=16, stacked=False):
 
 
 def run(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
-        duration: float = 1.0):
+        duration: float = 1.0, chunk: int = 16):
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
     doa_list = np.linspace(-np.pi, np.pi, num_grid)
     t_sp, sig_sp = speech_template(duration=duration)
@@ -123,7 +123,7 @@ def run(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
 
     # --- single band (round-3 speech harness config)
     demo1 = Demo(freq_bands=[[1000.0, 2000.0]], **common)
-    e1 = _mc_config(demo1, t_sp, sig_sp, num_sims, seed)
+    e1 = _mc_config(demo1, t_sp, sig_sp, num_sims, seed, chunk=chunk)
     res["single_band_1000_2000"] = {
         "reference_peak_mae_deg": np.degrees(e1[:, :, 0].mean(1)).round(2).tolist(),
         "matched_speech_cal_mae_deg": np.degrees(e1[:, :, 1].mean(1)).round(2).tolist(),
@@ -134,7 +134,7 @@ def run(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
     # impossible on the 1000-neuron Xylo-A2 at G=449; trivial in software)
     bands3 = [[500.0, 1000.0], [1000.0, 2000.0], [2000.0, 3000.0]]
     demo3 = Demo(freq_bands=bands3, enforce_hw_limits=False, **common)
-    e3 = _mc_config(demo3, t_sp, sig_sp, num_sims, seed, stacked=True)
+    e3 = _mc_config(demo3, t_sp, sig_sp, num_sims, seed, chunk=chunk, stacked=True)
     res["three_band_500_3000"] = {
         "freq_bands": bands3,
         "reference_peak_mae_deg": np.degrees(e3[:, :, 0].mean(1)).round(2).tolist(),

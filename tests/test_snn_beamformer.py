@@ -174,3 +174,32 @@ def test_snn_doa_estimation(setup):
         est = grid[int(np.argmax(power))]
         errs.append(np.rad2deg(np.arcsin(abs(np.sin(est - doa_true)))))
     assert max(errs) < 4.0, errs
+
+
+def test_design_high_fmid_band_completes():
+    """Regression: jaxlib 0.9.0's CPU lax.map(vmap(design-body)) SEGFAULTED
+    whenever the LIF FIR kernel fell under ~40 taps (f_mid >= ~2 kHz bands,
+    e.g. the reference's own 2300-2600 Hz live-benchmark band).  chunked_vmap
+    unrolls the chunk loop on the CPU backend (ops/batching.py); this pins
+    that a high-f_mid design completes and produces a finite unit-norm
+    matrix."""
+    import numpy as np
+
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.models.snn_beamformer import SNNBeamformer
+
+    fs = 48_000
+    f_lo, f_hi = 2300.0, 2600.0
+    f_mid = 0.5 * (f_lo + f_hi)
+    tau = 1 / (2 * np.pi * f_mid)
+    geo = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    bf = SNNBeamformer(
+        geometry=geo, kernel_duration=10e-3, freq_range=(f_lo, f_hi),
+        tau_vec=[tau, tau], bipolar_spikes=True, fs=fs, design_chunk=4,
+    )
+    t = np.arange(0, 0.1, 1 / fs)
+    sig = np.sin(2 * np.pi * f_mid * t)
+    m = np.asarray(bf.design_from_template((t, sig), np.linspace(-np.pi, np.pi, 9)))
+    assert m.shape == (14, 9)
+    assert np.all(np.isfinite(m))
+    np.testing.assert_allclose(np.linalg.norm(m, axis=0), 1.0, atol=1e-5)
