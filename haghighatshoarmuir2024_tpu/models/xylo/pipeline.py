@@ -298,30 +298,54 @@ class Demo:
         out, state, rec = self.xylo(spikes_in, record=True)
         return rec["Spikes"]
 
-    def extract_rate(self, spikes_in) -> jnp.ndarray:
+    def extract_rate(self, spikes_in, fold: bool = True) -> jnp.ndarray:
         """Hidden raster → per-DoA spike rate, folded over frequency channels
-        (micloc/xylo_snn_localization.py:379-398)."""
+        (micloc/xylo_snn_localization.py:379-398).  ``fold=False`` returns the
+        unfolded (F·G,) per-band rates (what ``method="matched_stacked"``
+        consumes)."""
         num_DoA_grid = len(self.doa_list)
         rate_channels = jnp.mean(jnp.asarray(spikes_in, jnp.float32), axis=0) * self.fs
+        if not fold:
+            return rate_channels
         return rate_channels.reshape(-1, num_DoA_grid).mean(0)
 
     def estimate_doa_from_rate(self, spike_rate, method: str = "peak"):
         """Rate profile → DoA (micloc/xylo_snn_localization.py:400-444), plus
         the bias-free ``"matched"`` estimator (requires
-        :meth:`calibrate_profiles`)."""
-        method_list = ["peak", "periodic_ml", "trimmed_periodic_ml", "matched"]
+        :meth:`calibrate_profiles`) and its multi-band ``"matched_stacked"``
+        variant, which takes the UNFOLDED rates from
+        ``extract_rate(..., fold=False)`` (requires
+        ``calibrate_profiles(band_stacked=True)``)."""
+        method_list = [
+            "peak", "periodic_ml", "trimmed_periodic_ml", "matched",
+            "matched_stacked",
+        ]
         if method not in method_list:
             raise ValueError(
                 f"only the following estimation methods are supported:\n{method_list}"
             )
-        if method == "matched":
-            if getattr(self, "_profiles", None) is None:
-                raise ValueError("call calibrate_profiles() before method='matched'")
+        if method in ("matched", "matched_stacked"):
+            profiles = (
+                getattr(self, "_profiles", None) if method == "matched"
+                else getattr(self, "_profiles_stacked", None)
+            )
+            if profiles is None:
+                raise ValueError(
+                    "call calibrate_profiles() before method='matched' / "
+                    "calibrate_profiles(band_stacked=True) before "
+                    "method='matched_stacked'"
+                )
             r = jnp.asarray(spike_rate)
+            if r.shape[-1] != profiles.shape[-1]:
+                raise ValueError(
+                    f"rate length {r.shape[-1]} does not match the profile "
+                    f"table width {profiles.shape[-1]} — matched_stacked "
+                    "takes extract_rate(..., fold=False)"
+                )
             r = r - jnp.mean(r)
             # f32-exact: default bf16 matmul can flip near-tie argmaxes
             scores = jnp.matmul(
-                self._profiles, r, precision=jax.lax.Precision.HIGHEST
+                profiles, r, precision=jax.lax.Precision.HIGHEST
             )
             return jnp.asarray(self.doa_list)[jnp.argmax(scores)]
         spike_rate = jnp.asarray(spike_rate)

@@ -481,3 +481,40 @@ def test_band_stacked_matched_estimator():
     )
     with pytest.raises(ValueError, match="band_stacked"):
         d2.forward_batch(frames, method="matched_stacked")
+
+
+def test_stacked_estimator_eager_chain_matches_batch():
+    """The eager chain (spike_encoding -> xylo_process -> extract_rate(fold=
+    False) -> estimate_doa_from_rate('matched_stacked')) gives the same
+    answer as forward_batch(method='matched_stacked')."""
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 17)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    t = np.arange(0, 0.1, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
+    d.calibrate_profiles(template=(t, sig), use_cache=False, band_stacked=True)
+    sig_in = jnp.asarray(signal_from_template(d.geometry, t, sig, 1.2, fs=FS))
+
+    spikes = d.spike_encoding(sig_in)
+    raster = d.xylo_process(spikes)
+    r_unfolded = d.extract_rate(raster, fold=False)
+    assert np.asarray(r_unfolded).shape == (2 * 17,)
+    doa_eager = float(d.estimate_doa_from_rate(r_unfolded, method="matched_stacked"))
+
+    doa_batch, _ = d.forward_batch(sig_in[None], method="matched_stacked")
+    assert doa_eager == float(np.asarray(doa_batch)[0])
+
+    # folded rate into matched_stacked is a shape error, not silence
+    r_folded = d.extract_rate(raster)
+    with pytest.raises(ValueError, match="fold=False"):
+        d.estimate_doa_from_rate(r_folded, method="matched_stacked")
