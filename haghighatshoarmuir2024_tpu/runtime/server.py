@@ -114,6 +114,13 @@ class LocalizationServer:
         self.method = method or (
             "matched" if getattr(demo, "_profiles", None) is not None else "peak"
         )
+        if self.method == "matched_stacked" and getattr(
+            demo, "_profiles_stacked", None
+        ) is None:
+            raise ValueError(
+                "method='matched_stacked' needs "
+                "demo.calibrate_profiles(band_stacked=True)"
+            )
         if wire_dtype not in ("f32", "i16", "u8", "u4"):
             raise ValueError("wire_dtype must be 'f32', 'i16', 'u8' or 'u4'")
         if wire_upsample not in (1, 4):
@@ -245,12 +252,23 @@ class LocalizationServer:
         num_DoA = len(self.demo.doa_list)
         fs = self.demo.fs
         self._dl_dev = jax.device_put(np.asarray(self.demo.doa_list, np.float32))
-        profiles = getattr(self.demo, "_profiles", None)
+        # matched_stacked scores the UNFOLDED (B, F*G) rates against the
+        # G x (F*G) stacked table (multi-band; see pipeline.calibrate_profiles)
+        # — the serving state's counts are unfolded already, so this is the
+        # natural home for it.  "matched" keeps the reference-folded profile.
+        stacked = self.method == "matched_stacked"
+        profiles = getattr(
+            self.demo, "_profiles_stacked" if stacked else "_profiles", None
+        )
+        prof_w = (
+            num_DoA if profiles is None
+            else int(np.asarray(profiles).shape[-1])
+        )
         self._prof_dev = jax.device_put(
-            np.zeros((num_DoA, num_DoA), np.float32) if profiles is None
+            np.zeros((prof_w, num_DoA), np.float32) if profiles is None
             else np.ascontiguousarray(np.asarray(profiles, np.float32).T)
         )
-        matched = self.method == "matched" and profiles is not None
+        matched = self.method in ("matched", "matched_stacked") and profiles is not None
 
         from ..ops.mulaw import mulaw4_decode_table, mulaw_decode_table
         from ..ops.resample import (
@@ -324,6 +342,13 @@ class LocalizationServer:
         reset = self._wrap_streams(reset, 2)
 
         def _estimate(r, dl, prof_t):
+            """(B, H) UNFOLDED rate-like evidence -> (B,) DoA."""
+            if matched and stacked:
+                rc = r - jnp.mean(r, axis=-1, keepdims=True)
+                scores = jnp.matmul(
+                    rc, prof_t, precision=jax.lax.Precision.HIGHEST
+                )
+                return dl[jnp.argmax(scores, axis=-1)]
             r = r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
             if matched:
                 rc = r - jnp.mean(r, axis=-1, keepdims=True)

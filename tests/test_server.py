@@ -499,3 +499,51 @@ def test_server_survives_client_fuzz(demo):
             _, last = good.recv_doa(timeout=300.0)
         assert _folded_deg(last, 0.7) < 25.0, last
         good.close()
+
+
+def test_server_matched_stacked_multiband():
+    """Multi-band serving with the band-stacked matched estimator: the
+    server scores the UNFOLDED per-band counts against the stacked table
+    (method='matched_stacked'); a two-band stream localizes, and requesting
+    the method without the stacked calibration raises."""
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 33)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.25,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    with pytest.raises(ValueError, match="band_stacked"):
+        LocalizationServer(d, max_streams=2, method="matched_stacked")
+
+    t = np.arange(0, 0.25, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
+    d.calibrate_profiles(template=(t, sig), use_cache=False, band_stacked=True)
+
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    doa_true = 0.9
+    tt = np.arange(0, 4 * chunk_sec, 1 / FS)
+    ss = np.sin(2 * np.pi * 1750 * tt) + np.sin(2 * np.pi * 2050 * tt)
+    clean = np.asarray(signal_from_template(geometry, tt, ss, doa_true, fs=FS))
+    rng = np.random.default_rng(3)
+    sigma = np.sqrt((clean**2).mean() / 10 ** (10.0 / 10))
+    sig_in = (clean + sigma * rng.standard_normal(clean.shape)).astype(np.float32)
+
+    with LocalizationServer(d, max_streams=2, chunk_sec=chunk_sec,
+                            method="matched_stacked") as srv:
+        srv.start()
+        c = StreamClient(srv.port, 0)
+        got = None
+        for k in range(4):
+            c.send(sig_in[k * Tc : (k + 1) * Tc])
+            _, got = c.recv_doa(timeout=300.0)
+        c.close()
+    step = np.degrees(grid[1] - grid[0])
+    assert _folded_deg(got, doa_true) <= 2 * step, (got, doa_true)
