@@ -138,3 +138,101 @@ def received_signal(geometry, time_temp, sig_temp, doa, snr_db=None, key=None, f
         sigma = jnp.sqrt(jnp.mean(sig_in_vec**2)) / jnp.sqrt(snr)
         sig_in_vec = sig_in_vec + sigma * jax.random.normal(key, sig_in_vec.shape, sig_in_vec.dtype)
     return sig_in_vec
+
+
+def signal_from_template_multipath(
+    geometry, time_temp, sig_temp, doas, extra_delays, gains,
+    fs: Optional[float] = None,
+):
+    """Array signal for a source arriving over MULTIPLE plane-wave paths.
+
+    Beyond parity: the reference's propagation model is anechoic free field
+    only (one plane wave per source, micloc/xylo_snn_localization.py:44-71);
+    real rooms add wall reflections.  Each path is a plane wave from DoA
+    ``doas[p]``, delayed by ``extra_delays[p]`` seconds (path length
+    difference to the direct path) and scaled by ``gains[p]`` (wall
+    absorption + spreading); the received signal is their sum.  Use
+    :func:`room_image_paths` to derive the path table from a rectangular
+    room via the image-source method.
+
+    Args:
+        doas: (P,) path DoAs (radians).
+        extra_delays: (P,) per-path delay in seconds (0 for the direct path).
+        gains: (P,) per-path amplitude.
+
+    Returns:
+        (T, M) jnp array: sum_p gains[p] * sig(t + mic_delay(doas[p]) - extra_delays[p]).
+    """
+    time_temp = jnp.asarray(time_temp)
+    sig_temp = jnp.asarray(sig_temp)
+    if fs is None:
+        fs = 1.0 / float(time_temp[1] - time_temp[0])
+    doas = jnp.atleast_1d(jnp.asarray(doas))
+    extra_delays = jnp.atleast_1d(jnp.asarray(extra_delays))
+    gains = jnp.atleast_1d(jnp.asarray(gains))
+    delays = geometry.delays(doas, normalized=False)  # (P, M)
+    # (P, T, M) query grid — same convention as signal_from_template
+    # (template evaluated at t + mic delay), minus the path's travel delay
+    tq = time_temp[None, :, None] + delays[:, None, :] - extra_delays[:, None, None]
+    t0 = time_temp[0]
+    copies = interp_uniform(tq, sig_temp, t0, 1.0 / fs)  # (P, T, M)
+    return jnp.einsum("p,ptm->tm", gains.astype(copies.dtype), copies)
+
+
+def room_image_paths(
+    source_xy, array_xy, room_wh, reflection: float = 0.7, order: int = 1,
+    speed: float = 340.0,
+):
+    """First/second-order image-source path table for a 2-D rectangular room.
+
+    Host-side (numpy) helper for :func:`signal_from_template_multipath`.
+    Images of the source across each wall (and wall pairs up to ``order``)
+    arrive as plane waves from the image's direction with gain
+    ``reflection**bounces * d_direct/d_image`` (relative spherical
+    spreading, direct path normalized to gain 1) and extra delay
+    ``(d_image - d_direct)/speed``.
+
+    Args:
+        source_xy: (2,) source position (meters).
+        array_xy: (2,) array-center position.
+        room_wh: (2,) room width/height; walls at x=0, x=W, y=0, y=H.
+        reflection: wall amplitude reflection coefficient in [0, 1].
+        order: max reflections per path (1 or 2).
+
+    Returns:
+        (doas (P,), extra_delays (P,), gains (P,)) float64 numpy arrays,
+        direct path first.
+    """
+    sx, sy = float(source_xy[0]), float(source_xy[1])
+    ax, ay = float(array_xy[0]), float(array_xy[1])
+    W, H = float(room_wh[0]), float(room_wh[1])
+    if not (0 < sx < W and 0 < sy < H and 0 < ax < W and 0 < ay < H):
+        raise ValueError("source and array must lie inside the room")
+
+    # explicit image enumeration per axis: reflecting across x=0 gives -x
+    # (1 bounce), across x=W gives 2W-x (1 bounce); second order re-reflects
+    # those (2W+x, -2W+x).  A 2-D image is an (x-image, y-image) pair with
+    # summed bounce count.
+    xs = [(sx, 0), (-sx, 1), (2 * W - sx, 1)]
+    ys = [(sy, 0), (-sy, 1), (2 * H - sy, 1)]
+    if order >= 2:
+        xs += [(2 * W + sx, 2), (-2 * W + sx, 2)]
+        ys += [(2 * H + sy, 2), (-2 * H + sy, 2)]
+    paths = []
+    for ix, bx in xs:
+        for iy, by in ys:
+            b = bx + by
+            if b == 0 and not (ix == sx and iy == sy):
+                continue
+            if b > order:
+                continue
+            d = np.hypot(ix - ax, iy - ay)
+            doa = np.arctan2(iy - ay, ix - ax)
+            paths.append((doa, d, b))
+    d_direct = paths[0][1]
+    doas = np.array([p[0] for p in paths])
+    dists = np.array([p[1] for p in paths])
+    bounces = np.array([p[2] for p in paths])
+    gains = (reflection ** bounces) * (d_direct / dists)
+    extra = (dists - d_direct) / speed
+    return doas, extra, gains
