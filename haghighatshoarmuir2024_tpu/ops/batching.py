@@ -34,29 +34,6 @@ def chunked_vmap(fn, xs, chunk: int):
         return jnp.pad(x, widths)
 
     xs_p = jax.tree_util.tree_map(_pad, xs)
-    n_chunks = (G + pad) // chunk
-
-    if jax.default_backend() == "cpu":
-        # jaxlib 0.9.0 CPU landmine (measured here): the compiled
-        # lax.map(vmap(fn)) program SEGFAULTS at execution for specific fn
-        # compositions — the SNN design body (interp→STHT→IIR→RZCC→LIF FIR→
-        # einsum) crashes whenever the LIF FIR kernel is shorter than ~40
-        # taps (f_mid ≳ 2 kHz bands), while the identical body under a plain
-        # vmap or an unrolled chunk loop runs fine.  CPU is the golden-test
-        # backend, so unroll the chunk loop there (compile cost grows with
-        # G/chunk, fine at test scale); TPU keeps the rolled lax.map.
-        outs = [
-            jax.vmap(fn)(
-                jax.tree_util.tree_map(
-                    lambda x: x[i * chunk : (i + 1) * chunk], xs_p
-                )
-            )
-            for i in range(n_chunks)
-        ]
-        return jax.tree_util.tree_map(
-            lambda *os: jnp.concatenate(os, axis=0)[:G], *outs
-        )
-
     xs_r = jax.tree_util.tree_map(
         lambda x: x.reshape((-1, chunk) + x.shape[1:]), xs_p
     )

@@ -48,7 +48,19 @@ def fir_filter(b, x, axis: int = 0, method: str = "auto", precision=None):
     K = b.shape[0]
 
     if method == "auto":
-        method = "direct" if K <= 64 else "fft"
+        # XLA:CPU LANDMINE (jaxlib 0.9.0, measured here): the direct
+        # conv_general_dilated path with short kernels (< ~40 taps) inside
+        # fused programs CORRUPTS MEMORY on the CPU backend — the SNN design
+        # body (interp→STHT→IIR→RZCC→LIF-FIR→einsum) segfaults either at
+        # execution or in a LATER unrelated XLA compile, depending on
+        # allocator state; forcing this FIR onto the FFT path removes every
+        # crash while all stages pass individually either way.  CPU is the
+        # golden-test backend, so auto never picks "direct" there ("direct"
+        # stays available explicitly).
+        if jax.default_backend() == "cpu":
+            method = "fft"
+        else:
+            method = "direct" if K <= 64 else "fft"
 
     if method == "blockmm":
         if jnp.iscomplexobj(x) or jnp.iscomplexobj(b):

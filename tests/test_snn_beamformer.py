@@ -177,12 +177,13 @@ def test_snn_doa_estimation(setup):
 
 
 def test_design_high_fmid_band_completes():
-    """Regression: jaxlib 0.9.0's CPU lax.map(vmap(design-body)) SEGFAULTED
-    whenever the LIF FIR kernel fell under ~40 taps (f_mid >= ~2 kHz bands,
-    e.g. the reference's own 2300-2600 Hz live-benchmark band).  chunked_vmap
-    unrolls the chunk loop on the CPU backend (ops/batching.py); this pins
-    that a high-f_mid design completes and produces a finite unit-norm
-    matrix."""
+    """Regression: XLA:CPU (jaxlib 0.9.0) corrupts memory when the design
+    body runs its LIF FIR through the direct conv_general_dilated path with
+    a short kernel (< ~40 taps — any f_mid >= ~2 kHz band, e.g. the
+    reference's own 2300-2600 Hz live-benchmark band): segfaults at execution
+    or in a LATER unrelated compile.  fir_filter's auto dispatch never picks
+    "direct" on CPU (ops/fir.py); this pins that a high-f_mid design
+    completes and produces a finite unit-norm matrix."""
     import numpy as np
 
     from haghighatshoarmuir2024_tpu import CenterCircularArray
