@@ -59,3 +59,29 @@ def test_calibration_robustness_table(speech_results):
             assert all(np.isfinite(x) for x in v[k])
     # self-calibration on the tone IS the tone calibration: identical columns
     assert rob["tone"]["matched_tone_cal_mae_deg"] == rob["tone"]["matched_self_cal_mae_deg"]
+
+
+def test_multiband_speech_experiment_tiny():
+    """experiments/multiband_speech.py completes on a tiny config: both
+    configs produce finite MAE tables, the 3-band run reports all three
+    estimators, and shapes/keys match the published schema."""
+    import multiband_speech as m
+
+    old = m.SNRS
+    try:
+        m.SNRS = [0.0, 20.0]
+        res = m.run(num_sims=2, num_grid=16, duration=0.1, chunk=2)
+    finally:
+        m.SNRS = old
+    assert res["snr_db"] == [0.0, 20.0]
+    single = res["single_band_1000_2000"]
+    three = res["three_band_500_3000"]
+    for tab, keys in (
+        (single, ("reference_peak_mae_deg", "matched_speech_cal_mae_deg")),
+        (three, ("reference_peak_mae_deg", "matched_speech_cal_mae_deg",
+                 "matched_band_stacked_mae_deg")),
+    ):
+        for k in keys:
+            assert len(tab[k]) == 2
+            assert all(np.isfinite(v) and 0 <= v <= 90 for v in tab[k])
+    assert three["freq_bands"][1] == [1000.0, 2000.0]
