@@ -89,6 +89,21 @@ def _mc_config(demo, t_sp, sig_sp, num_sims, seed, chunk=16, stacked=False):
             ru = rate - rate.mean(axis=-1, keepdims=True)
             s2 = jnp.matmul(ru, prof_stacked.T, precision=jax.lax.Precision.HIGHEST)
             ests.append(grid_j[jnp.argmax(s2, axis=-1)])
+            # per-band COSINE variant: mean-remove and unit-normalize each
+            # band block of both the measured rate and the profile rows, so a
+            # noise-dominated band contributes a bounded cosine instead of a
+            # variance-dominating raw inner product
+            def blockcos(x):  # (..., H) -> per-band normalized blocks
+                xb = x.reshape(x.shape[:-1] + (-1, G))
+                xb = xb - xb.mean(axis=-1, keepdims=True)
+                n = jnp.linalg.norm(xb, axis=-1, keepdims=True)
+                return (xb / jnp.maximum(n, 1e-12)).reshape(x.shape)
+
+            s3 = jnp.matmul(
+                blockcos(rate), blockcos(prof_stacked).T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ests.append(grid_j[jnp.argmax(s3, axis=-1)])
         return true, jnp.stack(ests, axis=-1)  # (chunk,), (chunk, K)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), num_sims)
@@ -140,6 +155,7 @@ def run(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
         "reference_peak_mae_deg": np.degrees(e3[:, :, 0].mean(1)).round(2).tolist(),
         "matched_speech_cal_mae_deg": np.degrees(e3[:, :, 1].mean(1)).round(2).tolist(),
         "matched_band_stacked_mae_deg": np.degrees(e3[:, :, 2].mean(1)).round(2).tolist(),
+        "matched_band_cos_mae_deg": np.degrees(e3[:, :, 3].mean(1)).round(2).tolist(),
     }
     return res
 

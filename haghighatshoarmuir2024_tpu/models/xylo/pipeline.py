@@ -30,6 +30,20 @@ from .sim import XyloSim
 from .spec import build_localization_spec
 
 
+def _blockcos(x, G: int):
+    """Per-band cosine normalization for band-stacked matched scoring:
+    mean-remove and unit-normalize each G-wide band block of the trailing
+    axis.  A noise-dominated band then contributes a bounded cosine term to
+    the summed score instead of a variance-dominating raw inner product —
+    measured on the speech MC (experiments/multiband_speech.py): raw stacked
+    correlation 25.6° @ -10 dB vs 12.6° with this normalization, and sub-1°
+    at >= 8 dB where the folded profile gives 2-4°."""
+    xb = x.reshape(x.shape[:-1] + (-1, G))
+    xb = xb - xb.mean(axis=-1, keepdims=True)
+    n = jnp.linalg.norm(xb, axis=-1, keepdims=True)
+    return (xb / jnp.maximum(n, 1e-12)).reshape(x.shape)
+
+
 def _stht_method() -> str:
     """STHT quadrature-FIR backend for the encode path.  Measured on v5e:
     blocked-Toeplitz MXU matmuls (ops/fir._fir_block_matmul) beat the
@@ -342,7 +356,12 @@ class Demo:
                     f"table width {profiles.shape[-1]} — matched_stacked "
                     "takes extract_rate(..., fold=False)"
                 )
-            r = r - jnp.mean(r)
+            if method == "matched_stacked":
+                G = len(self.doa_list)
+                r = _blockcos(r, G)
+                profiles = _blockcos(jnp.asarray(profiles), G)
+            else:
+                r = r - jnp.mean(r)
             # f32-exact: default bf16 matmul can flip near-tie argmaxes
             scores = jnp.matmul(
                 profiles, r, precision=jax.lax.Precision.HIGHEST
@@ -485,12 +504,14 @@ class Demo:
         ``band_stacked=True`` (multi-band only) calibrates a G×(F·G) table of
         the *unfolded* per-band hidden rates instead of the reference's
         band-averaged fold (micloc/xylo_snn_localization.py:379-398 folds F
-        band blocks into one G profile before estimating).  Each band's
-        angular response is matched separately and the correlation scores
-        add coherently, so a band where the evaluation signal has little
-        energy contributes noise-floor correlation instead of diluting the
-        folded profile.  Stored as ``_profiles_stacked`` and used by
-        ``forward_batch(method="matched_stacked")``.
+        band blocks into one G profile before estimating).  Scoring is
+        per-band cosine (:func:`_blockcos`): each band's angular response is
+        matched in its own coordinates and contributes a bounded term, so a
+        noise-dominated band cannot swamp the summed score.  Stored as
+        ``_profiles_stacked`` and used by
+        ``forward_batch(method="matched_stacked")``.  Measured on the speech
+        MC (experiments/multiband_speech.py, 3 bands over 500-3000 Hz):
+        sub-1° MAE at ≥ 8 dB where the folded profile gives 2-4°.
         """
         from ...ops.interp import signal_from_template
         from ...utils.cache import DesignCache, design_cache_key
@@ -739,11 +760,12 @@ class Demo:
     @functools.cached_property
     def _forward_batch_matched_stacked_jit(self):
         """Batched forward with the band-stacked matched estimator: the
-        UNFOLDED (B, F·G) rates are correlated against the G×(F·G) stacked
-        calibration table (see :meth:`calibrate_profiles`), so each band's
-        angular response is matched in its own coordinates before the
-        per-band evidence is summed.  Returns (doa (B,), folded rate (B, G))
-        — same contract as the other batched forwards."""
+        UNFOLDED (B, F·G) rates are matched against the G×(F·G) stacked
+        calibration table (see :meth:`calibrate_profiles`) with PER-BAND
+        COSINE scoring (:func:`_blockcos`) — each band's angular response is
+        matched in its own coordinates and contributes a bounded cosine to
+        the summed score.  Returns (doa (B,), folded rate (B, G)) — same
+        contract as the other batched forwards."""
         if getattr(self, "_profiles_stacked", None) is None:
             raise ValueError(
                 "call calibrate_profiles(band_stacked=True) before the "
@@ -753,13 +775,19 @@ class Demo:
         profiles = jnp.asarray(self._profiles_stacked, jnp.float32)
         doa_list = jnp.asarray(self.doa_list)
         num_DoA = len(self.doa_list)
+        prof_cos_np = np.asarray(
+            _blockcos(jnp.asarray(profiles), num_DoA)
+        )  # numpy closure: device closures D2H-embed (axon landmine)
 
         @jax.jit
         def fwd(sig_batch):
             rate = rates_fn(sig_batch)
-            r = rate - jnp.mean(rate, axis=-1, keepdims=True)
+            rc = _blockcos(rate, num_DoA)
             # (B, H) @ (H, G); f32-exact — bf16 default can flip near-ties
-            scores = jnp.matmul(r, profiles.T, precision=jax.lax.Precision.HIGHEST)
+            scores = jnp.matmul(
+                rc, jnp.asarray(prof_cos_np).T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             doa = doa_list[jnp.argmax(scores, axis=-1)]
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             return doa, rate_doa

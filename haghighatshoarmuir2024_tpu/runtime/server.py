@@ -264,10 +264,20 @@ class LocalizationServer:
             num_DoA if profiles is None
             else int(np.asarray(profiles).shape[-1])
         )
-        self._prof_dev = jax.device_put(
-            np.zeros((prof_w, num_DoA), np.float32) if profiles is None
-            else np.ascontiguousarray(np.asarray(profiles, np.float32).T)
-        )
+        if profiles is None:
+            prof_np = np.zeros((prof_w, num_DoA), np.float32)
+        else:
+            prof_np = np.asarray(profiles, np.float32)
+            if stacked:
+                # pre-normalize each band block of every profile row (host
+                # numpy — the serving path then only normalizes the measured
+                # counts per step)
+                pb = prof_np.reshape(prof_np.shape[0], -1, num_DoA)
+                pb = pb - pb.mean(axis=-1, keepdims=True)
+                nrm = np.linalg.norm(pb, axis=-1, keepdims=True)
+                prof_np = (pb / np.maximum(nrm, 1e-12)).reshape(prof_np.shape)
+            prof_np = np.ascontiguousarray(prof_np.T)
+        self._prof_dev = jax.device_put(prof_np)
         matched = self.method in ("matched", "matched_stacked") and profiles is not None
 
         from ..ops.mulaw import mulaw4_decode_table, mulaw_decode_table
@@ -341,10 +351,14 @@ class LocalizationServer:
 
         reset = self._wrap_streams(reset, 2)
 
+        from ..models.xylo.pipeline import _blockcos
+
         def _estimate(r, dl, prof_t):
             """(B, H) UNFOLDED rate-like evidence -> (B,) DoA."""
             if matched and stacked:
-                rc = r - jnp.mean(r, axis=-1, keepdims=True)
+                # per-band cosine scoring (see pipeline._blockcos): the
+                # profile table arrives already block-normalized (below)
+                rc = _blockcos(r, num_DoA)
                 scores = jnp.matmul(
                     rc, prof_t, precision=jax.lax.Precision.HIGHEST
                 )
