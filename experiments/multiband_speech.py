@@ -161,12 +161,24 @@ def run(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
 
 
 def main():
+    from common import fig_mae_vs_snr
+
     num_sims = 50
     if "--quick" in sys.argv:
         num_sims = 8
     if "--sims" in sys.argv:
         num_sims = int(sys.argv[sys.argv.index("--sims") + 1])
     res = run(num_sims=num_sims)
+    snr = res["snr_db"]
+    fig_mae_vs_snr(
+        {
+            "single band, matched": (snr, res["single_band_1000_2000"]["matched_speech_cal_mae_deg"]),
+            "3 bands, matched (folded)": (snr, res["three_band_500_3000"]["matched_speech_cal_mae_deg"]),
+            "3 bands, matched_stacked (cos)": (snr, res["three_band_500_3000"]["matched_band_cos_mae_deg"]),
+            "single band, reference peak": (snr, res["single_band_1000_2000"]["reference_peak_mae_deg"]),
+        },
+        "multiband_speech_mae.pdf",
+    )
     print(json.dumps({"experiment": "multiband_speech", "results": res}, indent=2))
     return res
 
