@@ -146,8 +146,20 @@ def run(num_trials: int = 20, num_grid: int = 16 * 7, seed: int = 0,
 
 
 def main():
+    from common import fig_lines
+
     num_trials = 8 if "--quick" in sys.argv else 20
     res = run(num_trials=num_trials)
+    fig_lines(
+        res["reflection"],
+        {
+            "Hilbert beamformer": res["hilbert_mae_deg"],
+            "quantized Xylo (matched)": res["xylo_matched_mae_deg"],
+        },
+        "reverb_robustness_mae.pdf",
+        xlabel="wall reflection coefficient",
+        ylabel="MAE [deg]",
+    )
     print(json.dumps({"experiment": "reverb_robustness", "results": res}, indent=2))
     return res
 
