@@ -248,3 +248,50 @@ def test_ingest_u4_upsample_compiled_matches_host():
     np.testing.assert_allclose(
         np.asarray(carry), dec[:, -K:, :], rtol=0, atol=0
     )
+
+
+def test_matched_stacked_forward_tpu_consistent():
+    """The band-stacked (per-band cosine) matched forward runs compiled on
+    the TPU and its DoA picks agree with scoring the SAME device rates on
+    the host — the estimator layer adds no device-specific surprises on top
+    of the rate parity pinned above."""
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.models.xylo import Demo
+    from haghighatshoarmuir2024_tpu.models.xylo.pipeline import _blockcos
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+
+    fs = 48_000
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 33)
+    demo = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=fs,
+        design_chunk=8,
+    )
+    t = np.arange(0, 0.1, 1 / fs)
+    sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
+    demo.calibrate_profiles(template=(t, sig), use_cache=False, band_stacked=True)
+    doas_true = np.array([-2.0, 0.5, 2.5])
+    batch = jnp.stack([
+        jnp.asarray(signal_from_template(geometry, t, sig, float(x), fs=fs))
+        for x in doas_true
+    ])
+
+    doa_dev, _ = demo.forward_batch(batch, method="matched_stacked")
+    rate_dev = np.asarray(demo._rates_batch_jit(batch), np.float32)
+
+    # host re-score of the device rates
+    prof = np.asarray(_blockcos(jnp.asarray(demo._profiles_stacked), len(grid)))
+    rc = np.asarray(_blockcos(jnp.asarray(rate_dev), len(grid)))
+    host_pick = grid[np.argmax(rc @ prof.T, axis=-1)]
+    np.testing.assert_allclose(np.asarray(doa_dev), host_pick, atol=1e-6)
+
+    # and the estimates are correct within one grid step
+    step = grid[1] - grid[0]
+    err = np.abs(np.arcsin(np.abs(np.sin(np.asarray(doa_dev) - doas_true))))
+    assert np.all(err <= step + 1e-6)
