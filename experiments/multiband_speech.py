@@ -104,6 +104,20 @@ def _mc_config(demo, t_sp, sig_sp, num_sims, seed, chunk=16, stacked=False):
                 precision=jax.lax.Precision.HIGHEST,
             )
             ests.append(grid_j[jnp.argmax(s3, axis=-1)])
+            # combined: per-band cosines + the folded profile's cosine (the
+            # fold averages band noise 3x, strongest evidence at low SNR;
+            # the band cosines dominate at high SNR) — one bounded sum
+            def cos1(x):
+                xc = x - x.mean(axis=-1, keepdims=True)
+                return xc / jnp.maximum(
+                    jnp.linalg.norm(xc, axis=-1, keepdims=True), 1e-12
+                )
+
+            s4 = s3 + jnp.matmul(
+                cos1(folded), cos1(prof_folded).T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ests.append(grid_j[jnp.argmax(s4, axis=-1)])
         return true, jnp.stack(ests, axis=-1)  # (chunk,), (chunk, K)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), num_sims)
@@ -156,6 +170,7 @@ def run(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
         "matched_speech_cal_mae_deg": np.degrees(e3[:, :, 1].mean(1)).round(2).tolist(),
         "matched_band_stacked_mae_deg": np.degrees(e3[:, :, 2].mean(1)).round(2).tolist(),
         "matched_band_cos_mae_deg": np.degrees(e3[:, :, 3].mean(1)).round(2).tolist(),
+        "matched_band_cosfold_mae_deg": np.degrees(e3[:, :, 4].mean(1)).round(2).tolist(),
     }
     return res
 

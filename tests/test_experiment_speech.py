@@ -79,7 +79,8 @@ def test_multiband_speech_experiment_tiny():
     for tab, keys in (
         (single, ("reference_peak_mae_deg", "matched_speech_cal_mae_deg")),
         (three, ("reference_peak_mae_deg", "matched_speech_cal_mae_deg",
-                 "matched_band_stacked_mae_deg", "matched_band_cos_mae_deg")),
+                 "matched_band_stacked_mae_deg", "matched_band_cos_mae_deg",
+                 "matched_band_cosfold_mae_deg")),
     ):
         for k in keys:
             assert len(tab[k]) == 2
