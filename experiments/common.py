@@ -60,11 +60,17 @@ def bandlimited_noise_template(freq_range, duration: float, fs: float = FS, seed
     return t, sig
 
 
-def speech_template(duration: Optional[float] = None, fs: float = FS):
+def speech_template(duration: Optional[float] = None, fs: float = FS,
+                    segment: int = 0):
     """The LibriSpeech sample used by the reference speech benchmarks
     (paper_plots/84-121123-0020.flac, target_localization.py:146-152), decoded
     with the native FLAC reader; falls back to a synthetic speech-like signal
     (formant-filtered pulse train with syllabic modulation) when unavailable.
+
+    ``segment=k`` returns the (k+1)-th highest-energy NON-OVERLAPPING window
+    of ``duration`` seconds (k=0 = the reference-matching best window) — a
+    different stretch of the same utterance, for cross-segment calibration
+    checks.
     """
     sig = None
     if os.path.exists(SPEECH_FLAC):
@@ -97,7 +103,15 @@ def speech_template(duration: Optional[float] = None, fs: float = FS):
         # template synthesizes a zero array signal
         n = int(duration * fs)
         e = np.concatenate([[0.0], np.cumsum(np.asarray(sig, np.float64) ** 2)])
-        start = int(np.argmax(e[n:] - e[:-n]))
+        win = e[n:] - e[:-n]
+        start = 0
+        for _ in range(segment + 1):
+            if not np.any(np.isfinite(win)) or np.nanmax(win) <= 0:
+                raise ValueError(f"sample has no {segment + 1} disjoint windows")
+            start = int(np.nanargmax(win))
+            # mask every window overlapping the one just taken
+            lo = max(0, start - n + 1)
+            win[lo : start + n] = -np.inf
         sig = sig[start : start + n]
     t = np.arange(len(sig)) / fs
     sig = sig / (np.abs(sig).max() + 1e-12)

@@ -86,3 +86,18 @@ def test_multiband_speech_experiment_tiny():
             assert len(tab[k]) == 2
             assert all(np.isfinite(v) and 0 <= v <= 90 for v in tab[k])
     assert three["freq_bands"][1] == [1000.0, 2000.0]
+
+
+def test_speech_template_segments_disjoint():
+    """speech_template(segment=k) returns non-overlapping energy windows:
+    segment 1 differs from segment 0 and both are full-length, finite,
+    normalized."""
+    from common import speech_template
+
+    t0, s0 = speech_template(duration=0.5, segment=0)
+    t1, s1 = speech_template(duration=0.5, segment=1)
+    assert len(s0) == len(s1) == len(t0)
+    assert np.isfinite(s0).all() and np.isfinite(s1).all()
+    assert abs(np.abs(s0).max() - 1.0) < 1e-6
+    # different stretches of the utterance
+    assert not np.allclose(s0, s1)
