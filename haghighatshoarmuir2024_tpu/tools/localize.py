@@ -24,22 +24,29 @@ import sys
 import numpy as np
 
 
-def _build_estimator(model, geometry, band, doa_list, frame, fs,
-                     calibrate=True):
+def _build_estimator(model, geometry, bands, doa_list, frame, fs,
+                     calibrate=True, stacked=False):
     import jax.numpy as jnp
 
+    band = bands[0]
     if model == "xylo":
         from ..models.xylo import Demo
 
         demo = Demo(
-            geometry=geometry, freq_bands=[list(band)], doa_list=doa_list,
+            geometry=geometry, freq_bands=[list(b) for b in bands],
+            doa_list=doa_list,
             recording_duration=frame, kernel_duration=10e-3,
             bipolar_spikes=True, fs=fs,
+            enforce_hw_limits=len(bands) == 1,
         )
         method = "peak"
         if calibrate:
-            demo.calibrate_profiles()
-            method = "matched"
+            if stacked:
+                demo.calibrate_profiles(band_stacked=True)
+                method = "matched_stacked"
+            else:
+                demo.calibrate_profiles()
+                method = "matched"
         return lambda x: float(demo.forward_batch(
             jnp.asarray(x, jnp.float32)[None], method=method)[0][0])
     if model == "hilbert":
@@ -78,7 +85,14 @@ def main(argv=None):
                                  "with --simulate-doa)")
     p.add_argument("--model", default="xylo",
                    choices=["xylo", "hilbert", "srp"])
-    p.add_argument("--band", nargs=2, type=float, default=[1600.0, 1900.0])
+    p.add_argument("--band", nargs=2, type=float, action="append",
+                   default=None, metavar=("F_LO", "F_HI"),
+                   help="frequency band (Hz); repeat for a multi-band "
+                        "deployment (xylo only; default 1600 1900)")
+    p.add_argument("--stacked", action="store_true",
+                   help="xylo multi-band: band-stacked matched estimator "
+                        "(per-band cosine scoring) instead of the folded "
+                        "profile")
     p.add_argument("--grid", type=int, default=225)
     p.add_argument("--frame", type=float, default=0.25)
     p.add_argument("--fs", type=float, default=48_000.0)
@@ -102,9 +116,16 @@ def main(argv=None):
     doa_list = np.linspace(-np.pi, np.pi, args.grid)
     src = FileAudioSource(args.audio, fs=args.fs)
 
+    bands = args.band if args.band else [[1600.0, 1900.0]]
+    if len(bands) > 1 and args.model != "xylo":
+        print("multiple --band only supported with --model xylo", file=sys.stderr)
+        return 2
+    if args.stacked and (len(bands) < 2 or args.no_calibrate):
+        print("--stacked needs >= 2 --band and calibration", file=sys.stderr)
+        return 2
     est = _build_estimator(
-        args.model, geometry, args.band, doa_list, args.frame, args.fs,
-        calibrate=not args.no_calibrate,
+        args.model, geometry, bands, doa_list, args.frame, args.fs,
+        calibrate=not args.no_calibrate, stacked=args.stacked,
     )
 
     rng = np.random.default_rng(0)

@@ -60,3 +60,26 @@ def test_localize_channel_mismatch_errors(tone_wav, capsys):
     rc = main([tone_wav, "--model", "srp", "--band", "1400", "2100",
                "--frame", "0.125", "--max-frames", "1"])
     assert rc == 2  # mono file without --simulate-doa
+
+
+def test_localize_xylo_multiband_stacked(tone_wav, capsys):
+    """Repeated --band builds a multi-band deployment; --stacked uses the
+    band-stacked (per-band cosine) matched estimator."""
+    rc, recs = _run(
+        [tone_wav, "--model", "xylo", "--band", "1600", "1900",
+         "--band", "1900", "2200", "--stacked",
+         "--simulate-doa", "0.9", "--snr-db", "10", "--frame", "0.125",
+         "--grid", "33", "--max-frames", "1"],
+        capsys,
+    )
+    assert rc == 0
+    frames = [r for r in recs if "frame" in r]
+    err = np.rad2deg(np.arcsin(abs(np.sin(frames[-1]["doa_rad"] - 0.9))))
+    assert err < 25.0, frames
+
+
+def test_localize_stacked_needs_multiband(tone_wav, capsys):
+    rc = main([tone_wav, "--model", "xylo", "--band", "1600", "1900",
+               "--stacked", "--simulate-doa", "0.9", "--frame", "0.125",
+               "--grid", "33", "--max-frames", "1"])
+    assert rc == 2
