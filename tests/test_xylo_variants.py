@@ -211,3 +211,41 @@ def test_demo_save_load_roundtrip(demos, tmp_path):
     est1 = float(demo.estimate_doa_from_rate(rate1, "matched"))
     est2 = float(restored.estimate_doa_from_rate(rate2, "matched"))
     assert est1 == est2
+
+
+def test_demo_save_load_stacked_profiles(tmp_path):
+    """Band-stacked profiles persist through the checkpoint: the restored
+    model answers matched_stacked identically without recalibration."""
+    import jax.numpy as jnp
+
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+
+    FS = 48_000
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 17)
+    d = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    t = np.arange(0, 0.1, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
+    d.calibrate_profiles(template=(t, sig), use_cache=False, band_stacked=True)
+    p = str(tmp_path / "model.npz")
+    d.save(p)
+
+    restored = Demo.load(p)
+    assert getattr(restored, "_profiles_stacked", None) is not None
+    frames = jnp.asarray(
+        signal_from_template(d.geometry, t, sig, 0.8, fs=FS)
+    )[None]
+    doa1, _ = d.forward_batch(frames, method="matched_stacked")
+    doa2, _ = restored.forward_batch(frames, method="matched_stacked")
+    assert float(np.asarray(doa1)[0]) == float(np.asarray(doa2)[0])
