@@ -113,11 +113,40 @@ def _mc_config(demo, t_sp, sig_sp, num_sims, seed, chunk=16, stacked=False):
                     jnp.linalg.norm(xc, axis=-1, keepdims=True), 1e-12
                 )
 
-            s4 = s3 + jnp.matmul(
+            sfold = jnp.matmul(
                 cos1(folded), cos1(prof_folded).T,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            s4 = s3 + sfold
             ests.append(grid_j[jnp.argmax(s4, axis=-1)])
+            # SNR-ADAPTIVE blends (ROADMAP's remaining estimator idea): the
+            # folded cosine wins below ~-4 dB (3x noise averaging), the
+            # per-band cosines above; the fixed sum s4 splits the difference.
+            # Weight each bounded component by its own achieved confidence so
+            # the blend adapts per trial with no SNR oracle.  Components: the
+            # F per-band cosine score vectors + the folded cosine vector, all
+            # in [-1, 1] against the same P grid rows.
+            F = rate.shape[-1] // G
+            cbf = blockcos(rate).reshape(rate.shape[0], F, G)
+            pbf = blockcos(prof_stacked).reshape(-1, F, G)
+            Sb = jnp.einsum(
+                "bfg,pfg->bfp", cbf, pbf,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (chunk, F, P)
+            comp = jnp.concatenate([Sb, sfold[:, None, :]], axis=1)
+            pk = comp.max(axis=-1)  # (chunk, F+1) peak cosine per component
+            # w = peak (amplitude weighting)
+            s5 = (comp * pk[..., None]).sum(axis=1)
+            ests.append(grid_j[jnp.argmax(s5, axis=-1)])
+            # w = peak^2 (power / maximal-ratio-style weighting)
+            s6 = (comp * (pk**2)[..., None]).sum(axis=1)
+            ests.append(grid_j[jnp.argmax(s6, axis=-1)])
+            # w = contrast above the component's own score floor (median):
+            # a noise band's spurious peak rides on a high floor of correlated
+            # cosines, so peak - median discounts it harder than raw peak
+            med = jnp.median(comp, axis=-1)
+            s7 = (comp * jnp.maximum(pk - med, 0.0)[..., None]).sum(axis=1)
+            ests.append(grid_j[jnp.argmax(s7, axis=-1)])
         return true, jnp.stack(ests, axis=-1)  # (chunk,), (chunk, K)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), num_sims)
@@ -171,6 +200,9 @@ def run(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
         "matched_band_stacked_mae_deg": np.degrees(e3[:, :, 2].mean(1)).round(2).tolist(),
         "matched_band_cos_mae_deg": np.degrees(e3[:, :, 3].mean(1)).round(2).tolist(),
         "matched_band_cosfold_mae_deg": np.degrees(e3[:, :, 4].mean(1)).round(2).tolist(),
+        "matched_auto_peak_mae_deg": np.degrees(e3[:, :, 5].mean(1)).round(2).tolist(),
+        "matched_auto_peak2_mae_deg": np.degrees(e3[:, :, 6].mean(1)).round(2).tolist(),
+        "matched_auto_contrast_mae_deg": np.degrees(e3[:, :, 7].mean(1)).round(2).tolist(),
     }
     return res
 

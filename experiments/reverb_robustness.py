@@ -149,6 +149,8 @@ def main():
     from common import fig_lines
 
     num_trials = 8 if "--quick" in sys.argv else 20
+    if "--trials" in sys.argv:
+        num_trials = int(sys.argv[sys.argv.index("--trials") + 1])
     res = run(num_trials=num_trials)
     fig_lines(
         res["reflection"],

@@ -80,7 +80,9 @@ def test_multiband_speech_experiment_tiny():
         (single, ("reference_peak_mae_deg", "matched_speech_cal_mae_deg")),
         (three, ("reference_peak_mae_deg", "matched_speech_cal_mae_deg",
                  "matched_band_stacked_mae_deg", "matched_band_cos_mae_deg",
-                 "matched_band_cosfold_mae_deg")),
+                 "matched_band_cosfold_mae_deg", "matched_auto_peak_mae_deg",
+                 "matched_auto_peak2_mae_deg",
+                 "matched_auto_contrast_mae_deg")),
     ):
         for k in keys:
             assert len(tab[k]) == 2
