@@ -55,14 +55,18 @@ def run(num_trials: int = 20, num_grid: int = 16 * 7, seed: int = 0,
     sig = np.sin(2 * np.pi * 1750.0 * t)
 
     bf = Beamformer(geometry, kernel_duration=10e-3, freq_range=freq_range, fs=FS)
-    bf_mat = jnp.asarray(bf.design_from_template((t, sig), grid)[0])
+    # NUMPY closures: complex64 device closures D2H-embed at jit lowering —
+    # unimplemented on axon (CLAUDE.md landmine)
+    from haghighatshoarmuir2024_tpu.utils import to_numpy
+
+    bf_mat = to_numpy(bf.design_from_template((t, sig), grid)[0])
     demo = Demo(
         geometry=geometry, freq_bands=[list(freq_range)], doa_list=grid,
         recording_duration=duration, kernel_duration=10e-3,
         bipolar_spikes=True, fs=FS,
     )
     demo.calibrate_profiles()
-    profiles = jnp.asarray(demo._profiles, jnp.float32)
+    profiles = np.asarray(demo._profiles, np.float32)
     rates_fn = demo._rates_batch_jit
     grid_j = jnp.asarray(grid)
     G = num_grid

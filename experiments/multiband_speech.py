@@ -56,14 +56,16 @@ def _mc_config(demo, t_sp, sig_sp, num_sims, seed, chunk=16, stacked=False):
     t_j = jnp.asarray(t_sp, jnp.float32)
     s_j = jnp.asarray(sig_sp, jnp.float32)
 
-    prof_folded = jnp.asarray(
-        demo.calibrate_profiles(template=(t_sp, sig_sp)), jnp.float32
+    # numpy closures: device-array closures D2H-embed at jit lowering (axon
+    # landmine — flips the tunnel to slow transfers)
+    prof_folded = np.asarray(
+        demo.calibrate_profiles(template=(t_sp, sig_sp)), np.float32
     )
     prof_stacked = None
     if stacked:
-        prof_stacked = jnp.asarray(
+        prof_stacked = np.asarray(
             demo.calibrate_profiles(template=(t_sp, sig_sp), band_stacked=True),
-            jnp.float32,
+            np.float32,
         )
     rates_fn = demo._rates_batch_jit
 
@@ -249,7 +251,11 @@ def run_cross_segment(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
         n = jnp.linalg.norm(xb, axis=-1, keepdims=True)
         return (xb / jnp.maximum(n, 1e-12)).reshape(x.shape)
 
-    prof_cos = {k: blockcos(jnp.asarray(v, jnp.float32)) for k, v in profs.items()}
+    # numpy closures (axon: device closures D2H-embed at jit lowering)
+    prof_cos = {
+        k: np.asarray(blockcos(jnp.asarray(v, jnp.float32)))
+        for k, v in profs.items()
+    }
 
     def synth_one(key, snr_db):
         k_doa, k_noise = jax.random.split(key)

@@ -73,7 +73,12 @@ def run(num_trials: int = 20, num_grid: int = 16 * 7, seed: int = 0,
 
     bf = Beamformer(geometry, kernel_duration=10e-3, freq_range=freq_range, fs=FS)
     bf_mat, _ = bf.design_from_template((t, sig), grid)
-    bf_mat = jnp.asarray(bf_mat)
+    # NUMPY closure: a complex64 DEVICE-array closure would D2H-download at
+    # jit lowering — unimplemented on axon (and any first download flips the
+    # tunnel to slow transfers; see CLAUDE.md)
+    from haghighatshoarmuir2024_tpu.utils import to_numpy
+
+    bf_mat = to_numpy(bf_mat)
 
     demo = Demo(
         geometry=geometry,
@@ -112,7 +117,7 @@ def run(num_trials: int = 20, num_grid: int = 16 * 7, seed: int = 0,
         return jax.vmap(one)(keys, doas_b, extra_b, gains_b)
 
     rates_fn = demo._rates_batch_jit
-    profiles = jnp.asarray(demo._profiles, jnp.float32)
+    profiles = np.asarray(demo._profiles, np.float32)  # numpy closure (axon)
     G = num_grid
 
     @jax.jit

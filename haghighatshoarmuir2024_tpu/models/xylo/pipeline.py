@@ -44,6 +44,60 @@ def _blockcos(x, G: int):
     return (xb / jnp.maximum(n, 1e-12)).reshape(x.shape)
 
 
+def _cos1(x):
+    """Mean-remove + unit-normalize the trailing axis (cosine coordinates).
+    Invariant to positive-affine maps of x, which is what lets the folded
+    profile be derived from the stacked calibration table (see
+    :func:`_auto_blend_scores`)."""
+    xc = x - x.mean(axis=-1, keepdims=True)
+    return xc / jnp.maximum(jnp.linalg.norm(xc, axis=-1, keepdims=True), 1e-12)
+
+
+def _auto_blend_scores(rate, prof_stacked, G: int, weight: str = "contrast"):
+    """SNR-adaptive blend of the band-stacked matched scores (ROADMAP's
+    "remaining estimator idea", measured in experiments/multiband_speech.py).
+
+    Components, all bounded cosines in [-1, 1] against the same P grid rows:
+    the F per-band cosine score vectors (each band's angular response matched
+    in its own coordinates, the ``matched_stacked`` evidence — wins at
+    moderate/high SNR) and the folded-profile cosine (the reference fold's 3x
+    band-noise averaging — wins below ~-4 dB).  Each component is weighted by
+    its own achieved confidence, so the blend adapts per trial with no SNR
+    oracle:
+
+      * ``weight="peak"``      w = max_p score   (amplitude weighting)
+      * ``weight="peak2"``     w = (max_p score)^2  (power / MRC-style)
+      * ``weight="contrast"``  w = max(peak - median_p score, 0) — a noise
+        band's spurious peak rides on a high floor of correlated cosines
+        across the grid, so contrast discounts it harder than raw peak.
+
+    The folded component needs no second calibration: cos1 is invariant to
+    positive-affine maps, and folding a calibrated stacked row (row-normalized
+    raw rates) is affine in the folded raw rates, so
+    ``cos1(fold(stacked row)) == cos1(fold(raw rates))`` exactly.
+
+    rate: (..., H) unfolded rates, prof_stacked: (P, H), H = F*G."""
+    F = rate.shape[-1] // G
+    prec = jax.lax.Precision.HIGHEST
+    cb = _blockcos(rate, G).reshape(rate.shape[:-1] + (F, G))
+    pb = _blockcos(prof_stacked, G).reshape(prof_stacked.shape[0], F, G)
+    Sb = jnp.einsum("...fg,pfg->...fp", cb, pb, precision=prec)
+    rf = _cos1(rate.reshape(rate.shape[:-1] + (F, G)).mean(axis=-2))
+    pf = _cos1(prof_stacked.reshape(prof_stacked.shape[0], F, G).mean(axis=-2))
+    Sf = jnp.matmul(rf, pf.T, precision=prec)
+    comp = jnp.concatenate([Sb, Sf[..., None, :]], axis=-2)  # (..., F+1, P)
+    pk = comp.max(axis=-1)
+    if weight == "peak":
+        w = pk
+    elif weight == "peak2":
+        w = pk**2
+    elif weight == "contrast":
+        w = jnp.maximum(pk - jnp.median(comp, axis=-1), 0.0)
+    else:
+        raise ValueError(f"unknown auto-blend weight {weight!r}")
+    return (comp * w[..., None]).sum(axis=-2)
+
+
 def _stht_method() -> str:
     """STHT quadrature-FIR backend for the encode path.  Measured on v5e:
     blocked-Toeplitz MXU matmuls (ops/fir._fir_block_matmul) beat the
@@ -332,13 +386,13 @@ class Demo:
         ``calibrate_profiles(band_stacked=True)``)."""
         method_list = [
             "peak", "periodic_ml", "trimmed_periodic_ml", "matched",
-            "matched_stacked",
+            "matched_stacked", "matched_auto",
         ]
         if method not in method_list:
             raise ValueError(
                 f"only the following estimation methods are supported:\n{method_list}"
             )
-        if method in ("matched", "matched_stacked"):
+        if method in ("matched", "matched_stacked", "matched_auto"):
             profiles = (
                 getattr(self, "_profiles", None) if method == "matched"
                 else getattr(self, "_profiles_stacked", None)
@@ -347,17 +401,20 @@ class Demo:
                 raise ValueError(
                     "call calibrate_profiles() before method='matched' / "
                     "calibrate_profiles(band_stacked=True) before "
-                    "method='matched_stacked'"
+                    "method='matched_stacked' / 'matched_auto'"
                 )
             r = jnp.asarray(spike_rate)
             if r.shape[-1] != profiles.shape[-1]:
                 raise ValueError(
                     f"rate length {r.shape[-1]} does not match the profile "
-                    f"table width {profiles.shape[-1]} — matched_stacked "
-                    "takes extract_rate(..., fold=False)"
+                    f"table width {profiles.shape[-1]} — matched_stacked/"
+                    "matched_auto take extract_rate(..., fold=False)"
                 )
+            G = len(self.doa_list)
+            if method == "matched_auto":
+                scores = _auto_blend_scores(r, jnp.asarray(profiles), G)
+                return jnp.asarray(self.doa_list)[jnp.argmax(scores)]
             if method == "matched_stacked":
-                G = len(self.doa_list)
                 r = _blockcos(r, G)
                 profiles = _blockcos(jnp.asarray(profiles), G)
             else:
@@ -663,6 +720,8 @@ class Demo:
             return self._forward_batch_matched_jit(sig_batch)
         if method == "matched_stacked":
             return self._forward_batch_matched_stacked_jit(sig_batch)
+        if method == "matched_auto":
+            return self._forward_batch_matched_auto_jit(sig_batch)
         return self._forward_batch_jit(sig_batch)
 
     @functools.cached_property
@@ -788,6 +847,36 @@ class Demo:
                 rc, jnp.asarray(prof_cos_np).T,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            doa = doa_list[jnp.argmax(scores, axis=-1)]
+            rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
+            return doa, rate_doa
+
+        return fwd
+
+    @functools.cached_property
+    def _forward_batch_matched_auto_jit(self):
+        """Batched forward with the SNR-ADAPTIVE blend estimator
+        (:func:`_auto_blend_scores`): per-band cosine evidence + the folded
+        cosine, each weighted by its own achieved confidence — tracks the
+        folded estimator at very low SNR and the per-band-cosine stacked one
+        at moderate/high SNR without an SNR oracle.  Requires
+        ``calibrate_profiles(band_stacked=True)``; returns (doa (B,), folded
+        rate (B, G)) like the other batched forwards."""
+        if getattr(self, "_profiles_stacked", None) is None:
+            raise ValueError(
+                "call calibrate_profiles(band_stacked=True) before the "
+                "auto-blend matched forward"
+            )
+        rates_fn = self._rates_batch_jit
+        doa_list = jnp.asarray(self.doa_list)
+        num_DoA = len(self.doa_list)
+        # numpy closure: device closures D2H-embed (axon landmine)
+        prof_np = np.asarray(self._profiles_stacked, np.float32)
+
+        @jax.jit
+        def fwd(sig_batch):
+            rate = rates_fn(sig_batch)
+            scores = _auto_blend_scores(rate, jnp.asarray(prof_np), num_DoA)
             doa = doa_list[jnp.argmax(scores, axis=-1)]
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             return doa, rate_doa

@@ -33,23 +33,64 @@ from jax.experimental.pallas import tpu as pltpu
 
 R_TILE = 128
 TB = 1536  # time-block (v5e scoped-VMEM fits <=~1536; 2048 OOMs at the 16 MB cap)
+# Largest extended block (time block + both halos) that fits the 16 MB
+# scoped VMEM: measured working at the flagship w=11/W=24 (TB 1536 + 2x128
+# halo).  Wider suppression windows (lower bands -> larger robust_width)
+# need 256-row halos, which at TB=1536 overflow by ~0.25 MB (measured:
+# 3-band 500-3000 Hz encode, w=23/W=48 -> "Scoped allocation 16.25M >
+# 16.00M") — _pick_tb shrinks the time block to keep this footprint.
+TBE_MAX = 1792
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _halo_block(margin: int) -> int:
+def _halo_block(margin: int, tb: int = TB) -> int:
     """Smallest power-of-two multiple of 128 that covers ``margin`` and
-    divides TB — the halo inputs are fetched as blocks of this size instead
-    of full TB blocks (2-3x less DMA per round).  Falls back to full TB
-    blocks when no such divisor exists (TB is not a power of two)."""
+    divides ``tb`` — the halo inputs are fetched as blocks of this size
+    instead of full time blocks (2-3x less DMA per round).  Falls back to
+    full blocks when no such divisor exists."""
     mb = 128
     while mb < margin:
         mb *= 2
-    if mb >= TB or TB % mb:
-        return TB
+    if mb >= tb or tb % mb:
+        return tb
     return mb
+
+
+def _pick_tb(w: int, W: int):
+    """(time block, fused rounds, halo block) for the fused bipolar encode,
+    keeping the extended block tb + 2*mb <= TBE_MAX so the kernel fits the
+    scoped-VMEM cap at any robust_width.  Prefers 2 fused rounds; falls back
+    to 1 when the 2-round margin forces a halo too large to fit."""
+    for rounds in (2, 1):
+        m = _margin(w, W, rounds=rounds)
+        mb = 128
+        while mb < m:
+            mb *= 2
+        tb = ((TBE_MAX - 2 * mb) // mb) * mb
+        if tb >= mb and m <= tb:
+            return tb, rounds, mb
+    raise ValueError(
+        f"suppression window w={w} / plateau bound W={W} too large for the "
+        f"fused encode kernel (halo exceeds the scoped-VMEM block budget)"
+    )
+
+
+def _pick_tb1(w: int):
+    """(time block, halo block) for the single-round suppression kernels,
+    same scoped-VMEM budget rule as :func:`_pick_tb`."""
+    m = _margin(w)
+    mb = 128
+    while mb < m:
+        mb *= 2
+    tb = ((TBE_MAX - 2 * mb) // mb) * mb
+    if tb < mb or m > tb:
+        raise ValueError(
+            f"suppression window w={w} too large for the scoped-VMEM block budget"
+        )
+    return tb, mb
 
 
 def _margin(w: int, W: int = 0, rounds: int = 1) -> int:
@@ -61,18 +102,18 @@ def _margin(w: int, W: int = 0, rounds: int = 1) -> int:
     return _round_up(W + 1 + rounds * 3 * (w + 1) + 8, 8)
 
 
-def _halo_specs(MB: int, Tp: int):
+def _halo_specs(MB: int, Tp: int, tb: int = TB):
     """(prev, cur, next) BlockSpecs where the halos are MB-row blocks taken
-    from the tail/head of the neighbouring TB block (MB divides TB, so the
-    halo lands on an MB-aligned block index).  Clamped edge halos contain
+    from the tail/head of the neighbouring ``tb`` block (MB divides tb, so
+    the halo lands on an MB-aligned block index).  Clamped edge halos contain
     arbitrary rows; the kernels mask them off by global position."""
-    q = TB // MB
+    q = tb // MB
     nb = Tp // MB
     prev = pl.BlockSpec(
         (MB, R_TILE), lambda t, r: (jnp.maximum(t * q - 1, 0), r),
         memory_space=pltpu.VMEM,
     )
-    cur = pl.BlockSpec((TB, R_TILE), lambda t, r: (t, r), memory_space=pltpu.VMEM)
+    cur = pl.BlockSpec((tb, R_TILE), lambda t, r: (t, r), memory_space=pltpu.VMEM)
     nxt = pl.BlockSpec(
         (MB, R_TILE), lambda t, r: (jnp.minimum(t * q + q, nb - 1), r),
         memory_space=pltpu.VMEM,
@@ -85,11 +126,11 @@ def _round_kernel(
     ap_ref, ac_ref, an_ref,  # active masks (int8)
     kept_ref,  # kept mask, cur block (int8)
     act_out_ref, kept_out_ref, flag_out_ref,
-    *, w: int, T: int, M: int,
+    *, w: int, T: int, M: int, tb: int = TB,
 ):
     t = pl.program_id(0)
     R = hc_ref.shape[1]
-    TBe = TB + 2 * M  # M-row halo blocks, not full TB blocks: less DMA + VPU
+    TBe = tb + 2 * M  # M-row halo blocks, not full blocks: less DMA + VPU
 
     h3 = jnp.concatenate([hp_ref[:], hc_ref[:], hn_ref[:]], axis=0)
     # Mask plumbing stays in FLOAT arithmetic: Mosaic cannot truncate i8
@@ -100,7 +141,7 @@ def _round_kernel(
     )
 
     # positions; clamped edge blocks land outside [0, T) and are masked off
-    base = t * TB - M
+    base = t * tb - M
     iota = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0) + base
     a3f = a3f * ((iota >= 0) & (iota < T)).astype(jnp.float32)
 
@@ -148,12 +189,12 @@ def _round_kernel(
     top_f = top.astype(jnp.float32)
     winner = top & (leading_any(top_f, w) < 0.5)
     win_f = winner.astype(jnp.float32)
-    in_win_f = window_max(win_f, jnp.float32(0.0))[M : M + TB]
+    in_win_f = window_max(win_f, jnp.float32(0.0))[M : M + tb]
 
     acf = ac_ref[:].astype(jnp.float32)
     kpf = kept_ref[:].astype(jnp.float32)
     act_new = acf * (1.0 - in_win_f)
-    kept_new = jnp.maximum(kpf, win_f[M : M + TB])
+    kept_new = jnp.maximum(kpf, win_f[M : M + tb])
     act_out_ref[:] = act_new.astype(jnp.int8)
     kept_out_ref[:] = kept_new.astype(jnp.int8)
     flag_out_ref[t, pl.program_id(1)] = jnp.max(act_new).astype(jnp.int32)
@@ -161,17 +202,17 @@ def _round_kernel(
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
 def _suppress_tm_impl(height_tm, cand_tm, w: int, interpret: bool = False):
+    tb, MB = _pick_tb1(w)
     T, R = height_tm.shape
-    Tp = _round_up(T, TB)
+    Tp = _round_up(T, tb)
     Rp = _round_up(R, R_TILE)
     h = jnp.pad(height_tm.astype(jnp.float32), ((0, Tp - T), (0, Rp - R)))
     active0 = jnp.pad(cand_tm.astype(jnp.int8), ((0, Tp - T), (0, Rp - R)))
     kept0 = jnp.zeros((Tp, Rp), jnp.int8)
 
-    nt = Tp // TB
-    MB = _halo_block(_margin(w))
-    kernel = functools.partial(_round_kernel, w=w, T=T, M=MB)
-    prev, cur, nxt = _halo_specs(MB, Tp)
+    nt = Tp // tb
+    kernel = functools.partial(_round_kernel, w=w, T=T, M=MB, tb=tb)
+    prev, cur, nxt = _halo_specs(MB, Tp, tb)
 
     nr = Rp // R_TILE
     flag = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -210,7 +251,7 @@ def _round_kernel_bipolar(
     qp_ref, qc_ref, qn_ref,  # active masks, negative polarity (int8)
     kp_ref, kn_ref,  # kept masks, cur block (int8)
     pos_out_ref, neg_out_ref, kp_out_ref, kn_out_ref, flag_out_ref,
-    *, w: int, T: int, M: int,
+    *, w: int, T: int, M: int, tb: int = TB,
 ):
     """One suppression round for BOTH RZCC polarities from one read of cs.
 
@@ -221,10 +262,10 @@ def _round_kernel_bipolar(
     """
     t = pl.program_id(0)
     R = hc_ref.shape[1]
-    TBe = TB + 2 * M
+    TBe = tb + 2 * M
 
     h3 = jnp.concatenate([hp_ref[:], hc_ref[:], hn_ref[:]], axis=0)
-    base = t * TB - M
+    base = t * tb - M
     iota = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0) + base
     edge_f = ((iota >= 0) & (iota < T)).astype(jnp.float32)
 
@@ -272,11 +313,11 @@ def _round_kernel_bipolar(
         top_f = top.astype(jnp.float32)
         winner = top & (leading_any(top_f, w) < 0.5)
         win_f = winner.astype(jnp.float32)
-        in_win_f = window_max(win_f, jnp.float32(0.0))[M : M + TB]
+        in_win_f = window_max(win_f, jnp.float32(0.0))[M : M + tb]
         acf = ac[:].astype(jnp.float32)
         kpf = k_ref[:].astype(jnp.float32)
         act_new = acf * (1.0 - in_win_f)
-        kept_new = jnp.maximum(kpf, win_f[M : M + TB])
+        kept_new = jnp.maximum(kpf, win_f[M : M + tb])
         return act_new.astype(jnp.int8), kept_new.astype(jnp.int8)
 
     pos_act, pos_kept = one_polarity(h3, (pp_ref, pc_ref, pn_ref), kp_ref)
@@ -293,7 +334,7 @@ def _round_kernel_bipolar(
 def _round_kernel_bipolar_first(
     hp_ref, hc_ref, hn_ref,  # integrated signal cs: prev/cur/next (TB, R) f32
     pos_out_ref, neg_out_ref, kp_out_ref, kn_out_ref, flag_out_ref,
-    *, w: int, W: int, T: int, M: int, rounds: int = 2,
+    *, w: int, W: int, T: int, M: int, rounds: int = 2, tb: int = TB,
 ):
     """Fused RZCC round 1: bounded-plateau extrema of ±cs computed IN-REGISTER
     from the signal halos, then one suppression round for both polarities —
@@ -308,10 +349,10 @@ def _round_kernel_bipolar_first(
     """
     t = pl.program_id(0)
     R = hc_ref.shape[1]
-    TBe = TB + 2 * M
+    TBe = tb + 2 * M
 
     h3 = jnp.concatenate([hp_ref[:], hc_ref[:], hn_ref[:]], axis=0)
-    base = t * TB - M
+    base = t * tb - M
     iota = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0) + base
     local = jax.lax.broadcasted_iota(jnp.int32, (TBe, R), 0)
 
@@ -411,14 +452,14 @@ def _round_kernel_bipolar_first(
     ri = pl.program_id(1)
 
     def write_out(ap, an, kp, kn):
-        pos_out_ref[:] = ap[M : M + TB].astype(jnp.int8)
-        neg_out_ref[:] = an[M : M + TB].astype(jnp.int8)
-        kp_out_ref[:] = kp[M : M + TB].astype(jnp.int8)
-        kn_out_ref[:] = kn[M : M + TB].astype(jnp.int8)
+        pos_out_ref[:] = ap[M : M + tb].astype(jnp.int8)
+        neg_out_ref[:] = an[M : M + tb].astype(jnp.int8)
+        kp_out_ref[:] = kp[M : M + tb].astype(jnp.int8)
+        kn_out_ref[:] = kn[M : M + tb].astype(jnp.int8)
         # per-block remaining-candidates flag: the fixed-point cond reads
         # this (nt, nr) int32 array instead of re-scanning masks from HBM
         flag_out_ref[t, ri] = (
-            jnp.max(ap[M : M + TB]) + jnp.max(an[M : M + TB])
+            jnp.max(ap[M : M + tb]) + jnp.max(an[M : M + tb])
         ).astype(jnp.int32)
 
     write_out(ap1, an1, kp1, kn1)
@@ -442,30 +483,31 @@ def _round_kernel_bipolar_first(
 
 @functools.partial(jax.jit, static_argnames=("w", "W", "interpret"))
 def _rzcc_bipolar_fused_impl(cs_tm, w: int, W: int, interpret: bool = False):
+    # Two fused rounds when the 2-round halo margin fits the scoped-VMEM
+    # budget: audio's candidate chains resolve in 2, so the fallback loop
+    # below is a no-op in practice (its cond reads only the tiny per-block
+    # flag array, not the full masks).  A clamped halo would silently
+    # finalize wrong kept bits (the fallback loop cannot undo them), so
+    # _pick_tb shrinks the time block — never the halo — and drops to one
+    # fused round only when even that cannot fit.
+    tb, ROUNDS, MB1 = _pick_tb(w, W)
+
     T, R = cs_tm.shape
-    Tp = _round_up(T, TB)
+    Tp = _round_up(T, tb)
     Rp = _round_up(R, R_TILE)
     h = jnp.pad(cs_tm.astype(jnp.float32), ((0, Tp - T), (0, Rp - R)))
 
-    nt = Tp // TB
+    nt = Tp // tb
     nr = Rp // R_TILE
     flag = pl.BlockSpec(memory_space=pltpu.SMEM)
     mask_shape = jax.ShapeDtypeStruct((Tp, Rp), jnp.int8)
     flag_shape = jax.ShapeDtypeStruct((nt, nr), jnp.int32)
 
-    # Two fused rounds when the 2-round halo margin fits the time block:
-    # audio's candidate chains resolve in 2, so the fallback loop below is a
-    # no-op in practice (its cond reads only the tiny per-block flag array,
-    # not the full masks).  For extreme w/W where the 2-round margin exceeds
-    # TB, _halo_block would clamp the halo and round 2's kept bits would be
-    # silently wrong (the fallback loop cannot undo finalized bits) — so fuse
-    # only round 1 there and let the exact fallback rounds finish the job.
-    ROUNDS = 2 if _margin(w, W, rounds=2) <= TB else 1
-    MB1 = _halo_block(_margin(w, W, rounds=ROUNDS))
-    prev1, cur, nxt1 = _halo_specs(MB1, Tp)
+    prev1, cur, nxt1 = _halo_specs(MB1, Tp, tb)
     first_call = pl.pallas_call(
         functools.partial(
-            _round_kernel_bipolar_first, w=w, W=W, T=T, M=MB1, rounds=ROUNDS
+            _round_kernel_bipolar_first, w=w, W=W, T=T, M=MB1, rounds=ROUNDS,
+            tb=tb,
         ),
         grid=(nt, nr),
         in_specs=[prev1, cur, nxt1],
@@ -478,10 +520,10 @@ def _rzcc_bipolar_fused_impl(cs_tm, w: int, W: int, interpret: bool = False):
     )
     act_p, act_n, kp0, kn0, flags0 = first_call(h, h, h)
 
-    MB = _halo_block(_margin(w))
-    prev, cur2, nxt = _halo_specs(MB, Tp)
+    MB = _halo_block(_margin(w), tb)
+    prev, cur2, nxt = _halo_specs(MB, Tp, tb)
     round_call = pl.pallas_call(
-        functools.partial(_round_kernel_bipolar, w=w, T=T, M=MB),
+        functools.partial(_round_kernel_bipolar, w=w, T=T, M=MB, tb=tb),
         grid=(nt, nr),
         in_specs=[prev, cur2, nxt] * 3 + [cur, cur],
         out_specs=(cur, cur, cur, cur, flag),
@@ -528,9 +570,22 @@ def rzcc_encode_bipolar_tm(cs_tm, distance, max_plateau: int, interpret: bool = 
             jnp.swapaxes(minima, 0, -1),
             distance,
         )
-    if _margin(w, W) > TB:
-        raise ValueError(
-            f"suppression window w={w} / plateau bound {W} too large for time block {TB}"
+    try:
+        _pick_tb(w, W)
+    except ValueError:
+        # extreme suppression window: even a one-round halo exceeds the
+        # scoped-VMEM block budget — fall back to the exact (slower) XLA
+        # extrema + suppression composition rather than erroring
+        from ..peaks import local_extrema_mask_bounded
+
+        cs_rt = jnp.swapaxes(jnp.asarray(cs_tm), 0, -1)
+        maxima, minima = local_extrema_mask_bounded(cs_rt, W)
+        return rzcc_select_bipolar_tm(
+            cs_tm,
+            jnp.swapaxes(maxima, 0, -1),
+            jnp.swapaxes(minima, 0, -1),
+            distance,
+            interpret=interpret,
         )
     kp, kn = _rzcc_bipolar_fused_impl(jnp.asarray(cs_tm), w=w, W=W, interpret=interpret)
     return kp != 0, kn != 0
@@ -538,18 +593,18 @@ def rzcc_encode_bipolar_tm(cs_tm, distance, max_plateau: int, interpret: bool = 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
 def _suppress_bipolar_impl(cs_tm, maxima_tm, minima_tm, w: int, interpret: bool = False):
+    tb, MB = _pick_tb1(w)
     T, R = cs_tm.shape
-    Tp = _round_up(T, TB)
+    Tp = _round_up(T, tb)
     Rp = _round_up(R, R_TILE)
     h = jnp.pad(cs_tm.astype(jnp.float32), ((0, Tp - T), (0, Rp - R)))
     act_p = jnp.pad(maxima_tm.astype(jnp.int8), ((0, Tp - T), (0, Rp - R)))
     act_n = jnp.pad(minima_tm.astype(jnp.int8), ((0, Tp - T), (0, Rp - R)))
     kept0 = jnp.zeros((Tp, Rp), jnp.int8)
 
-    nt = Tp // TB
-    MB = _halo_block(_margin(w))
-    kernel = functools.partial(_round_kernel_bipolar, w=w, T=T, M=MB)
-    prev, cur, nxt = _halo_specs(MB, Tp)
+    nt = Tp // tb
+    kernel = functools.partial(_round_kernel_bipolar, w=w, T=T, M=MB, tb=tb)
+    prev, cur, nxt = _halo_specs(MB, Tp, tb)
 
     nr = Rp // R_TILE
     flag = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -605,8 +660,20 @@ def rzcc_select_bipolar_tm(cs_tm, maxima_tm, minima_tm, distance, interpret: boo
             jnp.swapaxes(jnp.asarray(minima_tm, jnp.bool_), 0, -1), -cs_rt, distance
         )
         return jnp.swapaxes(kp, 0, -1), jnp.swapaxes(kn, 0, -1)
-    if _margin(w) > TB:
-        raise ValueError(f"suppression window w={w} too large for time block {TB}")
+    try:
+        _pick_tb1(w)
+    except ValueError:
+        # extreme window: halo cannot fit the scoped-VMEM budget — exact XLA
+        from ..peaks import select_by_distance
+
+        cs_rt = jnp.swapaxes(jnp.asarray(cs_tm), 0, -1)
+        kp = select_by_distance(
+            jnp.swapaxes(jnp.asarray(maxima_tm, jnp.bool_), 0, -1), cs_rt, distance
+        )
+        kn = select_by_distance(
+            jnp.swapaxes(jnp.asarray(minima_tm, jnp.bool_), 0, -1), -cs_rt, distance
+        )
+        return jnp.swapaxes(kp, 0, -1), jnp.swapaxes(kn, 0, -1)
     kp, kn = _suppress_bipolar_impl(
         jnp.asarray(cs_tm),
         jnp.asarray(maxima_tm),
@@ -638,8 +705,21 @@ def select_by_distance_tm(cand_tm, height_tm, distance, interpret: bool = False)
             0,
             -1,
         )
-    if _margin(w) > TB:
-        raise ValueError(f"suppression window w={w} too large for time block {TB}")
+    try:
+        _pick_tb1(w)
+    except ValueError:
+        # extreme window: halo cannot fit the scoped-VMEM budget — exact XLA
+        from ..peaks import select_by_distance
+
+        return jnp.swapaxes(
+            select_by_distance(
+                jnp.swapaxes(jnp.asarray(cand_tm, jnp.bool_), 0, -1),
+                jnp.swapaxes(jnp.asarray(height_tm), 0, -1),
+                distance,
+            ),
+            0,
+            -1,
+        )
     out = _suppress_tm_impl(
         jnp.asarray(height_tm), jnp.asarray(cand_tm), w=w, interpret=interpret
     )

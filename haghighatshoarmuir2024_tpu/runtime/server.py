@@ -114,11 +114,11 @@ class LocalizationServer:
         self.method = method or (
             "matched" if getattr(demo, "_profiles", None) is not None else "peak"
         )
-        if self.method == "matched_stacked" and getattr(
+        if self.method in ("matched_stacked", "matched_auto") and getattr(
             demo, "_profiles_stacked", None
         ) is None:
             raise ValueError(
-                "method='matched_stacked' needs "
+                f"method={self.method!r} needs "
                 "demo.calibrate_profiles(band_stacked=True)"
             )
         if wire_dtype not in ("f32", "i16", "u8", "u4"):
@@ -257,8 +257,11 @@ class LocalizationServer:
         # — the serving state's counts are unfolded already, so this is the
         # natural home for it.  "matched" keeps the reference-folded profile.
         stacked = self.method == "matched_stacked"
+        auto = self.method == "matched_auto"
         profiles = getattr(
-            self.demo, "_profiles_stacked" if stacked else "_profiles", None
+            self.demo,
+            "_profiles_stacked" if (stacked or auto) else "_profiles",
+            None,
         )
         prof_w = (
             num_DoA if profiles is None
@@ -268,7 +271,12 @@ class LocalizationServer:
             prof_np = np.zeros((prof_w, num_DoA), np.float32)
         else:
             prof_np = np.asarray(profiles, np.float32)
-            if stacked:
+            if auto:
+                # matched_auto recomputes its block/folded normalizations
+                # in-program from the raw (P, H) table — (P, H) work per step
+                # is trivial next to the SNN step
+                pass
+            elif stacked:
                 # pre-normalize each band block of every profile row (host
                 # numpy — the serving path then only normalizes the measured
                 # counts per step)
@@ -276,9 +284,13 @@ class LocalizationServer:
                 pb = pb - pb.mean(axis=-1, keepdims=True)
                 nrm = np.linalg.norm(pb, axis=-1, keepdims=True)
                 prof_np = (pb / np.maximum(nrm, 1e-12)).reshape(prof_np.shape)
-            prof_np = np.ascontiguousarray(prof_np.T)
+            if not auto:
+                prof_np = np.ascontiguousarray(prof_np.T)
         self._prof_dev = jax.device_put(prof_np)
-        matched = self.method in ("matched", "matched_stacked") and profiles is not None
+        matched = (
+            self.method in ("matched", "matched_stacked", "matched_auto")
+            and profiles is not None
+        )
 
         from ..ops.mulaw import mulaw4_decode_table, mulaw_decode_table
         from ..ops.resample import (
@@ -351,10 +363,16 @@ class LocalizationServer:
 
         reset = self._wrap_streams(reset, 2)
 
-        from ..models.xylo.pipeline import _blockcos
+        from ..models.xylo.pipeline import _auto_blend_scores, _blockcos
 
         def _estimate(r, dl, prof_t):
             """(B, H) UNFOLDED rate-like evidence -> (B,) DoA."""
+            if matched and auto:
+                # SNR-adaptive blend (pipeline._auto_blend_scores): prof_t is
+                # the RAW (P, H) stacked table here (no host pre-normalize /
+                # transpose — the blend derives its own normalizations)
+                scores = _auto_blend_scores(r, prof_t, num_DoA)
+                return dl[jnp.argmax(scores, axis=-1)]
             if matched and stacked:
                 # per-band cosine scoring (see pipeline._blockcos): the
                 # profile table arrives already block-normalized (below)

@@ -396,16 +396,20 @@ class StreamingLocalizer:
         )
         return jax.jit(fn)
 
-    def rate(self, state: StreamState):
+    def rate(self, state: StreamState, fold: bool = True):
         """Current per-DoA spike-rate estimate from the accumulated counts
-        (batched states give (B, G) rates)."""
+        (batched states give (B, G) rates; ``fold=False`` returns the
+        unfolded (B, F·G) band-major rates that the stacked/auto matched
+        estimators take)."""
         num_DoA = len(self.demo.doa_list)
         steps = jnp.maximum(state.steps, 1)
         r = state.counts.astype(jnp.float32) / steps[..., None] * self.demo.fs
+        if not fold:
+            return r
         return r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
 
     def estimate_doa(self, state: StreamState, method: str = "peak"):
-        r = self.rate(state)
+        r = self.rate(state, fold=method not in ("matched_stacked", "matched_auto"))
         if r.ndim == 2:  # batched streams
             return jnp.stack(
                 [self.demo.estimate_doa_from_rate(x, method) for x in r]

@@ -25,7 +25,7 @@ import numpy as np
 
 
 def _build_estimator(model, geometry, bands, doa_list, frame, fs,
-                     calibrate=True, stacked=False):
+                     calibrate=True, stacked=False, auto=False):
     import jax.numpy as jnp
 
     band = bands[0]
@@ -41,9 +41,9 @@ def _build_estimator(model, geometry, bands, doa_list, frame, fs,
         )
         method = "peak"
         if calibrate:
-            if stacked:
+            if stacked or auto:
                 demo.calibrate_profiles(band_stacked=True)
-                method = "matched_stacked"
+                method = "matched_auto" if auto else "matched_stacked"
             else:
                 demo.calibrate_profiles()
                 method = "matched"
@@ -93,6 +93,9 @@ def main(argv=None):
                    help="xylo multi-band: band-stacked matched estimator "
                         "(per-band cosine scoring) instead of the folded "
                         "profile")
+    p.add_argument("--auto", action="store_true",
+                   help="xylo multi-band: SNR-adaptive blend of the folded "
+                        "and per-band cosine scores (matched_auto)")
     p.add_argument("--grid", type=int, default=225)
     p.add_argument("--frame", type=float, default=0.25)
     p.add_argument("--fs", type=float, default=48_000.0)
@@ -120,12 +123,13 @@ def main(argv=None):
     if len(bands) > 1 and args.model != "xylo":
         print("multiple --band only supported with --model xylo", file=sys.stderr)
         return 2
-    if args.stacked and (len(bands) < 2 or args.no_calibrate):
-        print("--stacked needs >= 2 --band and calibration", file=sys.stderr)
+    if (args.stacked or args.auto) and (len(bands) < 2 or args.no_calibrate):
+        print("--stacked/--auto need >= 2 --band and calibration",
+              file=sys.stderr)
         return 2
     est = _build_estimator(
         args.model, geometry, bands, doa_list, args.frame, args.fs,
-        calibrate=not args.no_calibrate, stacked=args.stacked,
+        calibrate=not args.no_calibrate, stacked=args.stacked, auto=args.auto,
     )
 
     rng = np.random.default_rng(0)

@@ -95,34 +95,47 @@ def test_rzcc_encode_fully_fused_matches_xla():
 
 
 def test_rzcc_encode_fused_large_window_single_round():
-    """Regression: when the 2-round halo margin exceeds the time block TB the
-    fused encoder must drop to ONE in-kernel round (a clamped halo would
-    finalize wrong kept bits that the fallback loop cannot undo) and still
-    match the XLA reference exactly via the fallback rounds."""
+    """Regression: widening suppression windows must DEGRADE the fused
+    encoder exactly, never clamp a halo (clamped halos silently finalize
+    wrong kept bits the fallback loop cannot undo).  _pick_tb's ladder:
+
+      * w=23/W=48 (3-band 500-3000 Hz speech config): 2 fused rounds still,
+        but the time block shrinks 1536 -> 1280 so the 256-row halo fits the
+        scoped-VMEM budget (the r3 OOM: 16.25M > 16M at TB=1536);
+      * w=79: the 2-round margin forces an unaffordable halo -> ONE fused
+        round at a 512-row block, fallback rounds finish the fixed point;
+      * w=299: even one round cannot fit -> exact XLA fallback path.
+    """
     from haghighatshoarmuir2024_tpu.ops.peaks import local_extrema_mask_bounded
     from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (
-        TB,
-        _margin,
+        _pick_tb,
         rzcc_encode_bipolar_tm,
     )
+    import pytest
 
-    d, W = 300, 24  # w = 299: 2-round margin 1833 > TB=1536, 1-round 933 fits
-    w = d - 1
-    assert _margin(w, W, rounds=2) > TB >= _margin(w, W, rounds=1)
+    assert _pick_tb(23, 48) == (1280, 2, 256)
+    assert _pick_tb(79, 24) == (512, 1, 512)
+    with pytest.raises(ValueError, match="scoped-VMEM"):
+        _pick_tb(299, 24)
 
     rng = np.random.default_rng(17)
     # slow drift + noise => widely-spaced extrema whose suppression chains
-    # cross the TB block boundary (T spans 3 blocks)
+    # cross the time-block boundary (T spans several shrunken blocks)
     t = np.arange(4000, dtype=np.float32)
     cs = np.cumsum(
         np.sin(2 * np.pi * t / 900.0)[None, :]
         + 0.3 * rng.standard_normal((3, 4000)).astype(np.float32),
         axis=-1,
     )
-    maxima, minima = local_extrema_mask_bounded(jnp.asarray(cs), W)
-    kp, kn = rzcc_encode_bipolar_tm(jnp.asarray(cs.T), d, W, interpret=True)
-    np.testing.assert_array_equal(np.asarray(kp).T, xla_ref(np.asarray(maxima), cs, d))
-    np.testing.assert_array_equal(np.asarray(kn).T, xla_ref(np.asarray(minima), -cs, d))
+    for d, W in ((24, 48), (80, 24), (300, 24)):
+        maxima, minima = local_extrema_mask_bounded(jnp.asarray(cs), W)
+        kp, kn = rzcc_encode_bipolar_tm(jnp.asarray(cs.T), d, W, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(kp).T, xla_ref(np.asarray(maxima), cs, d)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kn).T, xla_ref(np.asarray(minima), -cs, d)
+        )
 
 
 def test_rzcc_bipolar_fused_matches_xla():

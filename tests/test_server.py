@@ -501,11 +501,13 @@ def test_server_survives_client_fuzz(demo):
         good.close()
 
 
-def test_server_matched_stacked_multiband():
-    """Multi-band serving with the band-stacked matched estimator: the
+@pytest.mark.parametrize("method", ["matched_stacked", "matched_auto"])
+def test_server_matched_stacked_multiband(method):
+    """Multi-band serving with the band-stacked matched estimators: the
     server scores the UNFOLDED per-band counts against the stacked table
-    (method='matched_stacked'); a two-band stream localizes, and requesting
-    the method without the stacked calibration raises."""
+    (method='matched_stacked' / the SNR-adaptive 'matched_auto' blend); a
+    two-band stream localizes, and requesting the method without the stacked
+    calibration raises."""
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
     grid = np.linspace(-np.pi, np.pi, 33)
     d = Demo(
@@ -520,7 +522,7 @@ def test_server_matched_stacked_multiband():
         design_chunk=16,
     )
     with pytest.raises(ValueError, match="band_stacked"):
-        LocalizationServer(d, max_streams=2, method="matched_stacked")
+        LocalizationServer(d, max_streams=2, method=method)
 
     t = np.arange(0, 0.25, 1 / FS)
     sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
@@ -537,7 +539,7 @@ def test_server_matched_stacked_multiband():
     sig_in = (clean + sigma * rng.standard_normal(clean.shape)).astype(np.float32)
 
     with LocalizationServer(d, max_streams=2, chunk_sec=chunk_sec,
-                            method="matched_stacked") as srv:
+                            method=method) as srv:
         srv.start()
         c = StreamClient(srv.port, 0)
         got = None

@@ -518,3 +518,66 @@ def test_stacked_estimator_eager_chain_matches_batch():
     r_folded = d.extract_rate(raster)
     with pytest.raises(ValueError, match="fold=False"):
         d.estimate_doa_from_rate(r_folded, method="matched_stacked")
+
+
+def test_matched_auto_estimator():
+    """SNR-adaptive blend estimator (method='matched_auto',
+    pipeline._auto_blend_scores): noiseless estimates land within one grid
+    step; eager estimate_doa_from_rate matches forward_batch; the folded
+    cosine derived from the stacked table equals cos1 of the separately
+    calibrated folded profile (the affine-invariance identity the
+    implementation relies on); and the method requires the stacked
+    calibration."""
+    from haghighatshoarmuir2024_tpu.models.xylo.pipeline import _cos1
+
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 33)
+    mk = lambda: Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900], [1900, 2200]],
+        doa_list=grid,
+        recording_duration=0.1,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=FS,
+        use_cache=False,
+        design_chunk=16,
+    )
+    d = mk()
+    t = np.arange(0, 0.1, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t) + np.sin(2 * np.pi * 2050 * t)
+    prof_stacked = np.asarray(d.calibrate_profiles(
+        template=(t, sig), use_cache=False, band_stacked=True))
+    prof_folded = np.asarray(d.calibrate_profiles(
+        template=(t, sig), use_cache=False))
+
+    # the identity that lets matched_auto skip a second calibration:
+    # cos1(fold(stacked row)) == cos1(calibrated folded row) exactly
+    G = len(grid)
+    folded_from_stacked = np.asarray(
+        _cos1(jnp.asarray(prof_stacked.reshape(G, -1, G).mean(axis=1))))
+    folded_direct = np.asarray(_cos1(jnp.asarray(prof_folded)))
+    np.testing.assert_allclose(folded_from_stacked, folded_direct, atol=1e-5)
+
+    doas_true = np.array([-2.0, 0.5, 2.5])
+    frames = jnp.stack([
+        jnp.asarray(signal_from_template(d.geometry, t, sig, float(x), fs=FS))
+        for x in doas_true
+    ])
+    doa, rate = d.forward_batch(frames, method="matched_auto")
+    assert np.asarray(rate).shape == (3, 33)
+    step = np.degrees(grid[1] - grid[0])
+    err = np.degrees(np.arcsin(np.abs(np.sin(np.asarray(doa) - doas_true))))
+    assert np.all(err <= step + 1e-6), err
+
+    # eager chain equals the batched forward
+    sig_in = jnp.asarray(signal_from_template(d.geometry, t, sig, 1.2, fs=FS))
+    r_unfolded = d.extract_rate(d.xylo_process(d.spike_encoding(sig_in)), fold=False)
+    doa_eager = float(d.estimate_doa_from_rate(r_unfolded, method="matched_auto"))
+    doa_batch, _ = d.forward_batch(sig_in[None], method="matched_auto")
+    assert doa_eager == float(np.asarray(doa_batch)[0])
+
+    # requires the stacked calibration
+    d2 = mk()
+    with pytest.raises(ValueError, match="band_stacked"):
+        d2.forward_batch(frames, method="matched_auto")
