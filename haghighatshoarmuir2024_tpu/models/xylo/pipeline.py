@@ -53,7 +53,7 @@ def _cos1(x):
     return xc / jnp.maximum(jnp.linalg.norm(xc, axis=-1, keepdims=True), 1e-12)
 
 
-def _auto_blend_scores(rate, prof_stacked, G: int, weight: str = "contrast"):
+def _auto_blend_scores(rate, prof_stacked, G: int, weight: str = "peak2"):
     """SNR-adaptive blend of the band-stacked matched scores (ROADMAP's
     "remaining estimator idea", measured in experiments/multiband_speech.py).
 
@@ -66,7 +66,11 @@ def _auto_blend_scores(rate, prof_stacked, G: int, weight: str = "contrast"):
     oracle:
 
       * ``weight="peak"``      w = max_p score   (amplitude weighting)
-      * ``weight="peak2"``     w = (max_p score)^2  (power / MRC-style)
+      * ``weight="peak2"``     w = (max_p score)^2  (power / MRC-style) —
+        the default: best measured blend on the 3-band speech MC (TPU,
+        100 sims — 8.2° @ -10 dB vs 9.4° for the fixed cosine+folded sum
+        and 10.3° for pure per-band cosine, equal to cosine within noise
+        at >= 2 dB)
       * ``weight="contrast"``  w = max(peak - median_p score, 0) — a noise
         band's spurious peak rides on a high floor of correlated cosines
         across the grid, so contrast discounts it harder than raw peak.

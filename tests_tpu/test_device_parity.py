@@ -21,6 +21,7 @@ import tempfile
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
 from test_pallas_lif import make_config, make_spikes, scan_counts  # noqa: E402
@@ -115,6 +116,23 @@ def test_rzcc_encode_bipolar_compiled_matches_xla():
     np.testing.assert_array_equal(np.asarray(kn).T, ref_n)
 
 
+@pytest.mark.parametrize("d,W", [(24, 48), (80, 24)], ids=["tb1280", "tb512-1round"])
+def test_rzcc_encode_wide_window_compiled_matches_xla(d, W):
+    """Wide suppression windows (lower bands -> larger robust_width) force
+    _pick_tb to shrink the time block (1536 -> 1280 / 512) so the bigger
+    halo fits the 16 MB scoped VMEM — the config that OOM'd at the fixed
+    block (3-band 500-3000 Hz encode: 'Scoped allocation 16.25M > 16.00M').
+    Compiled-path bit-exactness at both ladder steps."""
+    rng = np.random.default_rng(11)
+    cs = np.cumsum(rng.standard_normal((6, 6000)).astype(np.float32), axis=-1)
+    maxima, minima = local_extrema_mask_bounded(jnp.asarray(cs), W)
+    ref_p = np.asarray(select_by_distance(maxima, jnp.asarray(cs), d))
+    ref_n = np.asarray(select_by_distance(minima, jnp.asarray(-cs), d))
+    kp, kn = rzcc_encode_bipolar_tm(jnp.asarray(cs.T), d, W)
+    np.testing.assert_array_equal(np.asarray(kp).T, ref_p)
+    np.testing.assert_array_equal(np.asarray(kn).T, ref_n)
+
+
 # --------------------------------------------------- end-to-end device parity
 _CPU_RATES_SCRIPT = r"""
 import sys
@@ -128,9 +146,6 @@ sig = np.load({sig!r})
 doa, rate = demo.forward_batch(sig, method="peak")
 np.save({out!r}, np.asarray(rate, np.float32))
 """
-
-
-import pytest
 
 
 @pytest.mark.parametrize(
@@ -294,4 +309,16 @@ def test_matched_stacked_forward_tpu_consistent():
     # and the estimates are correct within one grid step
     step = grid[1] - grid[0]
     err = np.abs(np.arcsin(np.abs(np.sin(np.asarray(doa_dev) - doas_true))))
+    assert np.all(err <= step + 1e-6)
+
+    # the SNR-adaptive blend (matched_auto) on the same device rates: device
+    # picks equal host-scored picks, and land within one grid step too
+    from haghighatshoarmuir2024_tpu.models.xylo.pipeline import _auto_blend_scores
+
+    doa_auto, _ = demo.forward_batch(batch, method="matched_auto")
+    host_scores = np.asarray(_auto_blend_scores(
+        jnp.asarray(rate_dev), jnp.asarray(demo._profiles_stacked), len(grid)))
+    host_auto = grid[np.argmax(host_scores, axis=-1)]
+    np.testing.assert_allclose(np.asarray(doa_auto), host_auto, atol=1e-6)
+    err = np.abs(np.arcsin(np.abs(np.sin(np.asarray(doa_auto) - doas_true))))
     assert np.all(err <= step + 1e-6)
