@@ -38,6 +38,11 @@ from common import FS, speech_template
 
 from haghighatshoarmuir2024_tpu import CenterCircularArray
 from haghighatshoarmuir2024_tpu.models.xylo import Demo
+from haghighatshoarmuir2024_tpu.models.xylo.pipeline import (
+    _auto_blend_scores,
+    _blockcos,
+    _cos1,
+)
 from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
 from haghighatshoarmuir2024_tpu.parallel import folded_angle_error
 from haghighatshoarmuir2024_tpu.utils.peak_location import find_peak_location
@@ -91,32 +96,20 @@ def _mc_config(demo, t_sp, sig_sp, num_sims, seed, chunk=16, stacked=False):
             ru = rate - rate.mean(axis=-1, keepdims=True)
             s2 = jnp.matmul(ru, prof_stacked.T, precision=jax.lax.Precision.HIGHEST)
             ests.append(grid_j[jnp.argmax(s2, axis=-1)])
-            # per-band COSINE variant: mean-remove and unit-normalize each
-            # band block of both the measured rate and the profile rows, so a
-            # noise-dominated band contributes a bounded cosine instead of a
-            # variance-dominating raw inner product
-            def blockcos(x):  # (..., H) -> per-band normalized blocks
-                xb = x.reshape(x.shape[:-1] + (-1, G))
-                xb = xb - xb.mean(axis=-1, keepdims=True)
-                n = jnp.linalg.norm(xb, axis=-1, keepdims=True)
-                return (xb / jnp.maximum(n, 1e-12)).reshape(x.shape)
-
+            # per-band COSINE variant and the SNR-adaptive blends: measured
+            # through the SHIPPED scorers (models/xylo/pipeline._blockcos /
+            # _cos1 / _auto_blend_scores) — an inline copy here would let the
+            # production scorer drift away from what this ablation validates
             s3 = jnp.matmul(
-                blockcos(rate), blockcos(prof_stacked).T,
+                _blockcos(rate, G), _blockcos(jnp.asarray(prof_stacked), G).T,
                 precision=jax.lax.Precision.HIGHEST,
             )
             ests.append(grid_j[jnp.argmax(s3, axis=-1)])
             # combined: per-band cosines + the folded profile's cosine (the
             # fold averages band noise 3x, strongest evidence at low SNR;
             # the band cosines dominate at high SNR) — one bounded sum
-            def cos1(x):
-                xc = x - x.mean(axis=-1, keepdims=True)
-                return xc / jnp.maximum(
-                    jnp.linalg.norm(xc, axis=-1, keepdims=True), 1e-12
-                )
-
             sfold = jnp.matmul(
-                cos1(folded), cos1(prof_folded).T,
+                _cos1(folded), _cos1(jnp.asarray(prof_folded)).T,
                 precision=jax.lax.Precision.HIGHEST,
             )
             s4 = s3 + sfold
@@ -124,37 +117,20 @@ def _mc_config(demo, t_sp, sig_sp, num_sims, seed, chunk=16, stacked=False):
             # SNR-ADAPTIVE blends (ROADMAP's remaining estimator idea): the
             # folded cosine wins below ~-4 dB (3x noise averaging), the
             # per-band cosines above; the fixed sum s4 splits the difference.
-            # Weight each bounded component by its own achieved confidence so
-            # the blend adapts per trial with no SNR oracle.  Components: the
-            # F per-band cosine score vectors + the folded cosine vector, all
-            # in [-1, 1] against the same P grid rows.
-            F = rate.shape[-1] // G
-            cbf = blockcos(rate).reshape(rate.shape[0], F, G)
-            pbf = blockcos(prof_stacked).reshape(-1, F, G)
-            Sb = jnp.einsum(
-                "bfg,pfg->bfp", cbf, pbf,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (chunk, F, P)
-            comp = jnp.concatenate([Sb, sfold[:, None, :]], axis=1)
-            pk = comp.max(axis=-1)  # (chunk, F+1) peak cosine per component
-            # w = peak (amplitude weighting)
-            s5 = (comp * pk[..., None]).sum(axis=1)
-            ests.append(grid_j[jnp.argmax(s5, axis=-1)])
-            # w = peak^2 (power / maximal-ratio-style weighting)
-            s6 = (comp * (pk**2)[..., None]).sum(axis=1)
-            ests.append(grid_j[jnp.argmax(s6, axis=-1)])
-            # w = contrast above the component's own score floor (median):
-            # a noise band's spurious peak rides on a high floor of correlated
-            # cosines, so peak - median discounts it harder than raw peak
-            med = jnp.median(comp, axis=-1)
-            s7 = (comp * jnp.maximum(pk - med, 0.0)[..., None]).sum(axis=1)
-            ests.append(grid_j[jnp.argmax(s7, axis=-1)])
+            # _auto_blend_scores weights each bounded component by its own
+            # achieved confidence, so the blend adapts per trial with no SNR
+            # oracle — exactly the estimator served as method="matched_auto".
+            for wname in ("peak", "peak2", "contrast"):
+                sw = _auto_blend_scores(
+                    rate, jnp.asarray(prof_stacked), G, weight=wname
+                )
+                ests.append(grid_j[jnp.argmax(sw, axis=-1)])
         return true, jnp.stack(ests, axis=-1)  # (chunk,), (chunk, K)
 
     keys = jax.random.split(jax.random.PRNGKey(seed), num_sims)
     pad = (-num_sims) % chunk
-    if pad:
-        keys = jnp.concatenate([keys, keys[:pad]])
+    if pad:  # modular gather: pad can exceed num_sims when chunk > num_sims
+        keys = jnp.concatenate([keys, keys[jnp.arange(pad) % num_sims]])
     out = []
     for snr_db in SNRS:
         errs = []
@@ -245,15 +221,10 @@ def run_cross_segment(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
     t_j = jnp.asarray(t_eval, jnp.float32)
     s_j = jnp.asarray(sig_eval, jnp.float32)
 
-    def blockcos(x):
-        xb = x.reshape(x.shape[:-1] + (-1, G))
-        xb = xb - xb.mean(axis=-1, keepdims=True)
-        n = jnp.linalg.norm(xb, axis=-1, keepdims=True)
-        return (xb / jnp.maximum(n, 1e-12)).reshape(x.shape)
-
-    # numpy closures (axon: device closures D2H-embed at jit lowering)
+    # numpy closures (axon: device closures D2H-embed at jit lowering);
+    # scored through the SHIPPED per-band cosine (pipeline._blockcos)
     prof_cos = {
-        k: np.asarray(blockcos(jnp.asarray(v, jnp.float32)))
+        k: np.asarray(_blockcos(jnp.asarray(v, jnp.float32), G))
         for k, v in profs.items()
     }
 
@@ -268,7 +239,7 @@ def run_cross_segment(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
     @jax.jit
     def trial_chunk(keys, snr_db):
         true, frames = jax.vmap(synth_one, in_axes=(0, None))(keys, snr_db)
-        rc = blockcos(rates_fn(frames))
+        rc = _blockcos(rates_fn(frames), G)
         ests = [
             grid_j[jnp.argmax(
                 jnp.matmul(rc, p.T, precision=jax.lax.Precision.HIGHEST),
@@ -280,8 +251,8 @@ def run_cross_segment(num_sims: int = 50, num_grid: int = 16 * 7, seed: int = 0,
     snrs = [-4.0, 8.0, 20.0]
     keys = jax.random.split(jax.random.PRNGKey(seed), num_sims)
     pad = (-num_sims) % chunk
-    if pad:
-        keys = jnp.concatenate([keys, keys[:pad]])
+    if pad:  # modular gather: pad can exceed num_sims when chunk > num_sims
+        keys = jnp.concatenate([keys, keys[jnp.arange(pad) % num_sims]])
     out = {"snr_db": snrs}
     errs = []
     for snr_db in snrs:

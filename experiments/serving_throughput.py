@@ -174,12 +174,11 @@ def daemon_main(
     from haghighatshoarmuir2024_tpu.runtime.server import encode_wire
 
     peak = np.abs(chunks).max()
-    if wire in ("u8", "u4") or wire_upsample > 1:
-        chunks_wire = np.stack([
-            encode_wire(c / peak * 0.98, wire, wire_upsample) for c in chunks
-        ])
-    else:
-        chunks_wire = np.clip(chunks / peak * 32000, -32768, 32767).astype(np.int16)
+    # encode_wire handles every dtype (f32 passthrough included) — an ad-hoc
+    # int16 branch here once desynced --wire=f32 (i16 bytes into an f32 server).
+    chunks_wire = np.stack([
+        encode_wire(c / peak * 0.98, wire, wire_upsample) for c in chunks
+    ])
     import os
 
     with LocalizationServer(

@@ -48,10 +48,12 @@ def run(target: str = "tone", num_sims: int = 100, num_grid: int = 32 * 7,
     srp = SRPPHAT(geometry, freq_range=band, doa_list=doa_list, fs=FS,
                   frame_duration=t[-1] + 1.0 / FS)
     grid_j = jnp.asarray(doa_list)
-    steer = jnp.asarray(srp._steer_flat)
+    # numpy float closures: no eager complex transfer, no D2H at jit
+    # lowering (the axon landmines in CLAUDE.md)
+    steer_re, steer_im = srp._steer_re, srp._steer_im
 
     def estimate(sig_in):
-        return grid_j[jnp.argmax(srp._power_impl(sig_in, steer))]
+        return grid_j[jnp.argmax(srp._power_impl(sig_in, steer_re, steer_im))]
 
     trial = make_trial_fn(geometry, t, sig, estimate, FS)
     return monte_carlo_sweep(

@@ -15,7 +15,7 @@ All compute paths are pure jittable functions vmapped over {DoA grid, mics,
 frequency bands, Monte-Carlo seeds} and shardable over a device mesh.
 """
 
-__version__ = "0.3.1"
+__version__ = "0.3.2"
 
 from .config import FS, SOUND_SPEED_IN_OPEN_AIR
 from .geometry import (

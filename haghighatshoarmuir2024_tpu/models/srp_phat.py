@@ -71,14 +71,19 @@ class SRPPHAT:
         d = geometry.delays_np(self.doa_list, normalized=True).T  # (M, G)
         tau = np.stack([d[i] - d[j] for (i, j) in self._pairs])  # (P, G)
         phase = 2.0 * np.pi * fband[None, :, None] * tau[:, None, :]
-        steer = np.exp(1j * phase).astype(np.complex64)
-        # fold pairs*bins into one contraction axis for the MXU matmul
-        self._steer_flat = steer.reshape(-1, len(self.doa_list))  # (P*F, G)
+        # Steering stored as real cos/sin planes, NOT complex64: axon
+        # rejects eager complex transfers, and a complex64 DEVICE-array
+        # closure would D2H-download at jit lowering (CLAUDE.md).  The
+        # complex contraction Re{R^T S} = Re(R)·cos − Im(R)·sin runs as two
+        # float32 MXU matmuls; complex math stays strictly inside jit.
+        G = len(self.doa_list)
+        self._steer_re = np.cos(phase).astype(np.float32).reshape(-1, G)
+        self._steer_im = np.sin(phase).astype(np.float32).reshape(-1, G)
         self._pair_i = np.array([p[0] for p in self._pairs])
         self._pair_j = np.array([p[1] for p in self._pairs])
 
     # ------------------------------------------------------------------ jits
-    def _power_impl(self, sig_in, steer_flat):
+    def _power_impl(self, sig_in, steer_re, steer_im):
         """(T, M) float32 -> (G,) steered response power."""
         X = jnp.fft.rfft(sig_in, axis=0)  # (Tf, M) complex
         Xb = X[jnp.asarray(self._bins)]  # (F, M)
@@ -87,10 +92,12 @@ class SRPPHAT:
         cross = Xi * jnp.conj(Xj)  # (F, P)
         R = cross / jnp.maximum(jnp.abs(cross), 1e-12)  # PHAT whitening
         Rf = jnp.transpose(R).reshape(-1)  # (P*F,)
-        # one complex dot per grid point: Re{R^T steer} on the MXU
-        P = jnp.real(
-            jnp.matmul(Rf[None, :], steer_flat,
+        # Re{R^T steer} as two real MXU matmuls (complex stays inside jit)
+        P = (
+            jnp.matmul(jnp.real(Rf)[None, :], steer_re,
                        precision=jax.lax.Precision.HIGHEST)
+            - jnp.matmul(jnp.imag(Rf)[None, :], steer_im,
+                         precision=jax.lax.Precision.HIGHEST)
         )[0]
         return P / len(self._pairs)
 
@@ -98,17 +105,18 @@ class SRPPHAT:
     def _power_jit(self):
         if not hasattr(self, "_pj"):
             self._pj = jax.jit(self._power_impl)
-            self._pj_batch = jax.jit(jax.vmap(self._power_impl, in_axes=(0, None)))
+            self._pj_batch = jax.jit(
+                jax.vmap(self._power_impl, in_axes=(0, None, None))
+            )
         return self._pj, self._pj_batch
 
     def apply_to_signal(self, sig_in):
         """(T, M) or (B, T, M) audio -> (G,) / (B, G) angular power."""
         sig_in = jnp.asarray(sig_in, jnp.float32)
-        steer = jnp.asarray(self._steer_flat)
         single, batch = self._power_jit
         if sig_in.ndim == 3:
-            return batch(sig_in, steer)
-        return single(sig_in, steer)
+            return batch(sig_in, self._steer_re, self._steer_im)
+        return single(sig_in, self._steer_re, self._steer_im)
 
     def estimate(self, sig_in):
         """DoA estimate(s): argmax of the steered power."""

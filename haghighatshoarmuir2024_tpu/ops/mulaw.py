@@ -34,7 +34,11 @@ def mulaw_encode(x: np.ndarray) -> np.ndarray:
         x = x.astype(np.float32) * (1.0 / 32768.0)
     else:
         x = np.clip(x.astype(np.float32), -1.0, 1.0)
-    mag = np.log1p(MU * np.abs(x)) / np.log1p(MU)
+    # Compand in float64 EXPLICITLY: under numpy>=2 (NEP 50) the python-float
+    # MU no longer promotes the float32 input, and a float32 log1p here
+    # drifts off the C encoder (native/streamc.cpp mulaw_code, all-double)
+    # by ±1 code on ~2e-6 of samples — breaking the byte-identity contract.
+    mag = np.log1p(MU * np.abs(x).astype(np.float64)) / np.log1p(MU)
     q = np.round(mag * 127.0).astype(np.uint8)
     return np.where(x >= 0, q, q + np.uint8(128)).astype(np.uint8)
 
@@ -79,7 +83,9 @@ def mulaw4_encode(x: np.ndarray) -> np.ndarray:
         x = x.astype(np.float32) * (1.0 / 32768.0)
     else:
         x = np.clip(x.astype(np.float32), -1.0, 1.0)
-    mag = np.log1p(MU4 * np.abs(x)) / np.log1p(MU4)
+    # float64 companding for byte-identity with the C encoder (see
+    # mulaw_encode above)
+    mag = np.log1p(MU4 * np.abs(x).astype(np.float64)) / np.log1p(MU4)
     q = np.round(mag * 7.0).astype(np.uint8)
     return np.where(x >= 0, q, q + np.uint8(8)).astype(np.uint8)
 

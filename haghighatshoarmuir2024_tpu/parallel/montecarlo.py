@@ -92,7 +92,10 @@ def monte_carlo_sweep(
     keys = jax.random.split(key, num_sims)
     pad = (-num_sims) % chunk
     if pad:
-        keys = jnp.concatenate([keys, keys[:pad]])
+        # modular gather, not keys[:pad]: pad can EXCEED num_sims (e.g.
+        # 2 sims on an 8-device mesh -> pad 6), where a plain slice comes up
+        # short and the launch can no longer fill the mesh data axis evenly
+        keys = jnp.concatenate([keys, keys[jnp.arange(pad) % num_sims]])
 
     batched = jax.vmap(trial_fn, in_axes=(0, None))
 

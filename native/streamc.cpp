@@ -252,7 +252,8 @@ static inline uint8_t mulaw_code(float x, double mu, double levels) {
   if (x > 1.0f) x = 1.0f;
   if (x < -1.0f) x = -1.0f;
   // double-precision companding + round-half-to-even: bit-matches numpy's
-  // mulaw_encode (ops/mulaw.py), which promotes to float64 via the scalar MU
+  // mulaw_encode (ops/mulaw.py), which casts |x| to float64 explicitly
+  // before log1p (NEP 50 no longer promotes via the python-float MU)
   double ax = std::fabs(static_cast<double>(x));
   double mag = std::log1p(mu * ax) / std::log1p(mu);
   double q = std::nearbyint(mag * levels);

@@ -517,22 +517,49 @@ void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
     std::memcpy(msg + 4, &doas[i], 4);
     size_t off = 0;
     int spins = 0;
+    int fd0;
+    {
+      std::lock_guard<std::mutex> lk(s->mu);
+      fd0 = s->streams[ids[i]].fd;
+    }
+    if (fd0 < 0) continue;  // stream not live; drop
     while (off < sizeof(msg)) {
-      std::unique_lock<std::mutex> lk(s->mu);
-      const int fd = s->streams[ids[i]].fd;
-      if (fd < 0) break;  // stream died; drop
-      const ssize_t r = ::send(fd, msg + off, sizeof(msg) - off,
-                               MSG_NOSIGNAL | MSG_DONTWAIT);
-      lk.unlock();
+      ssize_t r;
+      {
+        // send under the mutex: non-blocking, so the hold is one syscall,
+        // and the epoll thread's close path (which takes the same mutex
+        // before publishing fd=-1) can never close/recycle fd0 mid-send —
+        // a result can never land on a reused fd number.  The fd is pinned
+        // to fd0 for the WHOLE frame: if the slot is reclaimed mid-frame,
+        // the remaining bytes must not splice into the successor's stream.
+        std::lock_guard<std::mutex> lk(s->mu);
+        if (s->streams[ids[i]].fd != fd0) break;  // died/reclaimed: drop
+        r = ::send(fd0, msg + off, sizeof(msg) - off,
+                   MSG_NOSIGNAL | MSG_DONTWAIT);
+      }
       if (r > 0) {
         off += static_cast<size_t>(r);
         continue;
       }
       if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) {
         if (off == 0) break;  // nothing written: drop whole result, no wait
-        // mid-message full buffer (rare: 8 B frames): bounded completion so
-        // the client's framing never desyncs; give up after ~2 ms
-        if (++spins > 40) break;
+        // mid-message full buffer (rare: 8 B frames): try briefly to finish
+        // the frame; a partial frame abandoned on the socket would desync
+        // the client's framing FOREVER, so if the client still can't take
+        // bytes after ~2 ms, kill the connection instead (publish fd=-1
+        // first so no further result routes here; shutdown() — not close()
+        // — so the fd number stays reserved until the epoll thread reaps
+        // the HUP via close_conn).
+        if (++spins > 40) {
+          std::lock_guard<std::mutex> lk(s->mu);
+          Stream& st = s->streams[ids[i]];
+          if (st.fd == fd0) {  // only shoot a conn that is still ours —
+            st.fd = -1;        // fd0 may be recycled once fd != fd0
+            st.throttled = false;
+            ::shutdown(fd0, SHUT_RDWR);
+          }
+          break;
+        }
         std::this_thread::sleep_for(std::chrono::microseconds(50));
         continue;
       }

@@ -132,6 +132,13 @@ def test_monte_carlo_unsharded_matches_sharded():
     r2 = monte_carlo_sweep(trial, [10.0], 8, jax.random.PRNGKey(1), mesh=make_mesh(8))
     np.testing.assert_allclose(r1["errors"], r2["errors"], rtol=1e-6)
 
+    # fewer sims than mesh devices: the pad (6) EXCEEDS num_sims (2), which a
+    # plain keys[:pad] slice under-fills — the launch must still split the
+    # 8-way data axis evenly and return exactly num_sims errors
+    r3 = monte_carlo_sweep(trial, [10.0], 2, jax.random.PRNGKey(1), mesh=make_mesh(8))
+    assert r3["errors"].shape == (1, 2)
+    np.testing.assert_allclose(r3["errors"], r1["errors"][:, :2], rtol=1e-6)
+
 
 def test_isotonic_pav():
     from haghighatshoarmuir2024_tpu.utils import approx_decreasing, isotonic_increasing
