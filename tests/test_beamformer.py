@@ -112,11 +112,57 @@ def test_doa_estimation_accuracy(setup):
         assert err < np.deg2rad(3.0), f"doa {doa_true}: err {np.rad2deg(err)} deg"
 
 
-def test_interference_removal_design_runs(setup):
+def test_interference_removal_design_matches_scipy(setup):
+    """Golden test of the generalized-eigenproblem design against
+    ``scipy.linalg.eigh(C, C_sum - C)`` with the reference's mean-diag/10
+    loading (micloc/beamformer.py:165-190): per-DoA the Cholesky-whitened
+    eigensolver in ops/linalg.generalized_top_eigvec must return the same
+    top generalized eigenvector up to a unit phase."""
+    import scipy.linalg
+
     geometry, bf, time_temp, sig_temp, doa_list = setup
     bf_mat, cov = bf.design_from_template(
         (time_temp, sig_temp), doa_list, interference_removal=True
     )
-    assert np.asarray(bf_mat).shape == (7, len(doa_list))
-    norms = np.linalg.norm(np.asarray(bf_mat), axis=0)
+    bf_np = np.asarray(bf_mat)
+    assert bf_np.shape == (7, len(doa_list))
+    norms = np.linalg.norm(bf_np, axis=0)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-6)
+
+    # reference design in float64/complex128 scipy, from the SAME covariances
+    cov = np.asarray(cov).astype(np.complex128)
+    cov_sum = cov.sum(axis=0)
+    cov_sum += np.diag(
+        np.mean(np.diag(cov_sum)).real * np.ones(cov_sum.shape[0])
+    ) / 10.0
+    for i in range(len(doa_list)):
+        _, U = scipy.linalg.eigh(cov[i], cov_sum - cov[i])
+        v_ref = U[:, -1] / np.linalg.norm(U[:, -1])
+        inner = abs(np.vdot(v_ref, bf_np[:, i]))
+        assert abs(inner - 1.0) < 1e-6, f"doa {i}: |<ref,got>|={inner}"
+
+
+def test_generalized_top_eigvec_golden():
+    """Unit-level golden: random Hermitian PD pencils, complex and real,
+    vs scipy.linalg.eigh's last column (micloc/beamformer.py:176-187)."""
+    import scipy.linalg
+
+    from haghighatshoarmuir2024_tpu.ops.linalg import generalized_top_eigvec
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = 7
+        if trial % 2 == 0:
+            A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+            B = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        else:
+            A = rng.standard_normal((n, n))
+            B = rng.standard_normal((n, n))
+        C = A @ A.conj().T / n
+        # PD right-hand side with a realistic condition spread
+        Bm = B @ B.conj().T / n + 0.05 * np.eye(n)
+        got = np.asarray(generalized_top_eigvec(jnp.asarray(C), jnp.asarray(Bm)))
+        _, U = scipy.linalg.eigh(C, Bm)
+        v_ref = U[:, -1] / np.linalg.norm(U[:, -1])
+        inner = abs(np.vdot(v_ref, got))
+        assert abs(inner - 1.0) < 1e-6, f"trial {trial}: |<ref,got>|={inner}"
