@@ -95,6 +95,14 @@ class Beamformer:
         fs: float = FS,
         design_chunk: int = 64,
     ):
+        # cold-start levers (see utils/cache.py): persistent XLA executables,
+        # and the axon first-D2H stall paid BEFORE any device traffic — the
+        # design/apply readbacks otherwise hit it mid-pipeline (CLAUDE.md)
+        from ..utils.cache import enable_persistent_compilation_cache, prime_transfers
+
+        enable_persistent_compilation_cache()
+        prime_transfers()
+
         self.geometry = geometry
         self.kernel_duration = kernel_duration
         self.fs = fs

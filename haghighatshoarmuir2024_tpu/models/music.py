@@ -115,6 +115,12 @@ class MUSIC:
         frame_duration: float = 0.25,
         fs: float = FS,
     ):
+        # cold-start levers (see utils/cache.py + CLAUDE.md axon landmines)
+        from ..utils.cache import enable_persistent_compilation_cache, prime_transfers
+
+        enable_persistent_compilation_cache()
+        prime_transfers()
+
         freq_range = np.asarray(freq_range, dtype=np.float64)
         if len(freq_range) != 2 or freq_range[0] > freq_range[1]:
             raise ValueError(

@@ -98,6 +98,12 @@ class SNNBeamformer:
         fs: float = FS,
         design_chunk: int = 32,
     ):
+        # cold-start levers (see utils/cache.py + CLAUDE.md axon landmines)
+        from ..utils.cache import enable_persistent_compilation_cache, prime_transfers
+
+        enable_persistent_compilation_cache()
+        prime_transfers()
+
         self.geometry = geometry
         self.fs = fs
         self.design_chunk = design_chunk

@@ -44,6 +44,12 @@ class SRPPHAT:
 
     def __init__(self, geometry, freq_range, doa_list,
                  fs: float = FS, frame_duration: float = 0.25):
+        # cold-start levers (see utils/cache.py + CLAUDE.md axon landmines)
+        from ..utils.cache import enable_persistent_compilation_cache, prime_transfers
+
+        enable_persistent_compilation_cache()
+        prime_transfers()
+
         self.geometry = geometry
         self.freq_range = [float(freq_range[0]), float(freq_range[1])]
         if self.freq_range[0] >= self.freq_range[1]:

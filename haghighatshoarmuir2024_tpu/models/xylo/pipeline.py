@@ -247,7 +247,18 @@ class Demo:
 
         # design checkpoint cache: the reference recomputes designs at every
         # process start (SURVEY §5); designs are pure functions of the config
-        from ...utils.cache import DesignCache, design_cache_key
+        from ...utils.cache import (
+            DesignCache,
+            design_cache_key,
+            enable_persistent_compilation_cache,
+            prime_transfers,
+        )
+
+        # cold-start levers (measured round 4): persistent XLA executables
+        # next to the design cache, and the axon first-D2H primer BEFORE any
+        # device traffic (the stall grows with prior undownloaded traffic)
+        enable_persistent_compilation_cache()
+        prime_transfers()
 
         cache = DesignCache() if use_cache else None
         cache_key = design_cache_key(
@@ -543,9 +554,9 @@ class Demo:
         )
         self.xylo = XyloSim.from_config(self.xylo_config, output_mode="Spike", dt=float(dt))
         if "profiles" in z:
-            self._profiles = jnp.asarray(z["profiles"])
+            self._profiles = np.asarray(z["profiles"])
         if "profiles_stacked" in z:
-            self._profiles_stacked = jnp.asarray(z["profiles_stacked"])
+            self._profiles_stacked = np.asarray(z["profiles_stacked"])
         return self
 
     # ------------------------------------------------------ matched profiles
@@ -599,7 +610,9 @@ class Demo:
         )
         cached = cache.load(key) if cache else None
         if cached is not None:
-            out = jnp.asarray(cached["profiles"])
+            # stored as numpy: the jitted estimators embed the table as a
+            # closure literal, and device-array closures D2H at lowering
+            out = np.asarray(cached["profiles"])
             if band_stacked:
                 self._profiles_stacked = out
             else:
@@ -628,7 +641,7 @@ class Demo:
         profiles = profiles / np.maximum(norms, 1e-12)
         if cache is not None:
             cache.save(key, {"profiles": profiles})
-        out = jnp.asarray(profiles)
+        out = np.asarray(profiles)
         if band_stacked:
             self._profiles_stacked = out
         else:
@@ -646,12 +659,16 @@ class Demo:
 
     @functools.cached_property
     def _forward_jit(self):
-        kernel = jnp.asarray(self.beamfs[0].kernel, dtype=jnp.float32)
+        # numpy closures only: a device-array closure is D2H-downloaded at
+        # LOWERING time to embed its literal, and the axon tunnel's first
+        # D2H stalls for minutes (measured 141-820 s, see CLAUDE.md) — this
+        # was the whole of the r3 "compile 270 s" cold start
+        kernel = np.asarray(self.beamfs[0].kernel, dtype=np.float32)
         cfg = self.xylo_config
         bas = self._bas
         robust_width = self.beamfs[0].robust_width
         bipolar = self.bipolar_spikes
-        doa_list = jnp.asarray(self.doa_list)
+        doa_list = np.asarray(self.doa_list)
         num_DoA = len(self.doa_list)
         fs = self.fs
 
@@ -683,7 +700,7 @@ class Demo:
             counts = lif_count_rates(cfg, spikes[None].astype(jnp.int8), spike_bound=1)[0]
             rate = counts.astype(jnp.float32) / T * fs
             rate_doa = rate.reshape(-1, num_DoA).mean(0)
-            doa = doa_list[jnp.argmax(rate_doa)]
+            doa = jnp.asarray(doa_list)[jnp.argmax(rate_doa)]
             return doa, rate_doa
 
         return fwd
@@ -695,15 +712,18 @@ class Demo:
         if getattr(self, "_profiles", None) is None:
             raise ValueError("call calibrate_profiles() before the matched forward")
         base = self._forward_jit
-        profiles = jnp.asarray(self._profiles, jnp.float32)
-        doa_list = jnp.asarray(self.doa_list)
+        # numpy closures — device closures D2H-embed at lowering (axon landmine)
+        profiles = np.asarray(self._profiles, np.float32)
+        doa_list = np.asarray(self.doa_list)
 
         @jax.jit
         def fwd(sig_in):
             _, rate_doa = base(sig_in)
             r = rate_doa - jnp.mean(rate_doa)
-            scores = jnp.matmul(profiles, r, precision=jax.lax.Precision.HIGHEST)
-            doa = doa_list[jnp.argmax(scores)]
+            scores = jnp.matmul(
+                jnp.asarray(profiles), r, precision=jax.lax.Precision.HIGHEST
+            )
+            doa = jnp.asarray(doa_list)[jnp.argmax(scores)]
             return doa, rate_doa
 
         return fwd
@@ -733,8 +753,9 @@ class Demo:
         if getattr(self, "_profiles", None) is None:
             raise ValueError("call calibrate_profiles() before the matched forward")
         base = self._forward_batch_jit
-        profiles = jnp.asarray(self._profiles, jnp.float32)
-        doa_list = jnp.asarray(self.doa_list)
+        # numpy closures — device closures D2H-embed at lowering (axon landmine)
+        profiles = np.asarray(self._profiles, np.float32)
+        doa_list = np.asarray(self.doa_list)
 
         @jax.jit
         def fwd(sig_batch):
@@ -742,8 +763,10 @@ class Demo:
             r = rate_doa - jnp.mean(rate_doa, axis=-1, keepdims=True)
             # (B, G) correlation against calibrated rows; f32-exact since the
             # default bf16 matmul can flip near-tie argmaxes on the DoA grid
-            scores = jnp.matmul(r, profiles.T, precision=jax.lax.Precision.HIGHEST)
-            doa = doa_list[jnp.argmax(scores, axis=-1)]
+            scores = jnp.matmul(
+                r, jnp.asarray(profiles).T, precision=jax.lax.Precision.HIGHEST
+            )
+            doa = jnp.asarray(doa_list)[jnp.argmax(scores, axis=-1)]
             return doa, rate_doa
 
         return fwd
@@ -754,7 +777,8 @@ class Demo:
         H = F·G band blocks in band-major order (the pre-fold quantity of
         micloc/xylo_snn_localization.py:379-398).  Shared body of every
         batched forward; the folded paths are thin wrappers."""
-        kernel = jnp.asarray(self.beamfs[0].kernel, dtype=jnp.float32)
+        # numpy closure — device closures D2H-embed at lowering (axon landmine)
+        kernel = np.asarray(self.beamfs[0].kernel, dtype=np.float32)
         cfg = self.xylo_config
         bas = self._bas
         robust_width = self.beamfs[0].robust_width
@@ -808,14 +832,14 @@ class Demo:
     @functools.cached_property
     def _forward_batch_jit(self):
         rates_fn = self._rates_batch_jit
-        doa_list = jnp.asarray(self.doa_list)
+        doa_list = np.asarray(self.doa_list)
         num_DoA = len(self.doa_list)
 
         @jax.jit
         def fwd(sig_batch):
             rate = rates_fn(sig_batch)
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
-            doa = doa_list[jnp.argmax(rate_doa, axis=-1)]
+            doa = jnp.asarray(doa_list)[jnp.argmax(rate_doa, axis=-1)]
             return doa, rate_doa
 
         return fwd
@@ -835,12 +859,16 @@ class Demo:
                 "stacked matched forward"
             )
         rates_fn = self._rates_batch_jit
-        profiles = jnp.asarray(self._profiles_stacked, jnp.float32)
-        doa_list = jnp.asarray(self.doa_list)
+        doa_list = np.asarray(self.doa_list)
         num_DoA = len(self.doa_list)
-        prof_cos_np = np.asarray(
-            _blockcos(jnp.asarray(profiles), num_DoA)
-        )  # numpy closure: device closures D2H-embed (axon landmine)
+        # numpy closure computed in numpy: device closures D2H-embed at
+        # lowering, and even building the closure eagerly on device costs a
+        # D2H here (axon landmine)
+        prof = np.asarray(self._profiles_stacked, np.float32)
+        pb = prof.reshape(prof.shape[0], -1, num_DoA)
+        pb = pb - pb.mean(axis=-1, keepdims=True)
+        pb = pb / np.maximum(np.linalg.norm(pb, axis=-1, keepdims=True), 1e-12)
+        prof_cos_np = pb.reshape(prof.shape)
 
         @jax.jit
         def fwd(sig_batch):
@@ -851,7 +879,7 @@ class Demo:
                 rc, jnp.asarray(prof_cos_np).T,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            doa = doa_list[jnp.argmax(scores, axis=-1)]
+            doa = jnp.asarray(doa_list)[jnp.argmax(scores, axis=-1)]
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             return doa, rate_doa
 
@@ -872,7 +900,7 @@ class Demo:
                 "auto-blend matched forward"
             )
         rates_fn = self._rates_batch_jit
-        doa_list = jnp.asarray(self.doa_list)
+        doa_list = np.asarray(self.doa_list)
         num_DoA = len(self.doa_list)
         # numpy closure: device closures D2H-embed (axon landmine)
         prof_np = np.asarray(self._profiles_stacked, np.float32)
@@ -881,7 +909,7 @@ class Demo:
         def fwd(sig_batch):
             rate = rates_fn(sig_batch)
             scores = _auto_blend_scores(rate, jnp.asarray(prof_np), num_DoA)
-            doa = doa_list[jnp.argmax(scores, axis=-1)]
+            doa = jnp.asarray(doa_list)[jnp.argmax(scores, axis=-1)]
             rate_doa = rate.reshape(rate.shape[0], -1, num_DoA).mean(1)
             return doa, rate_doa
 

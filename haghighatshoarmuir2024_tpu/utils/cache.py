@@ -21,6 +21,65 @@ _DEFAULT_DIR = os.environ.get(
     "HM2024_TPU_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "hm2024_tpu")
 )
 
+_persistent_cache_enabled = False
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Wire the JAX persistent compilation cache next to the design cache.
+
+    Idempotent; respects an explicit user setting.  Opt out with
+    ``HM2024_JAX_CACHE=0``; point elsewhere with ``HM2024_JAX_CACHE=<dir>``.
+    Executable reuse is keyed on the serialized HLO — which is deterministic
+    here because every jitted-program closure is numpy (device-array closures
+    would embed device-resident literals AND pay the axon first-D2H stall at
+    lowering, see CLAUDE.md).
+    """
+    global _persistent_cache_enabled
+    if _persistent_cache_enabled:
+        return
+    loc = os.environ.get("HM2024_JAX_CACHE", "")
+    if loc == "0":
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        cache_dir = loc or os.path.join(
+            os.path.expanduser("~"), ".cache", "hm2024_jax"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _persistent_cache_enabled = True
+
+
+_transfers_primed = False
+
+
+def prime_transfers() -> None:
+    """Pay the axon tunnel's first device→host download NOW, while it is
+    cheap.
+
+    Measured (round 4, CLAUDE.md): the first D2H in a process stalls for an
+    amount that grows with the undownloaded traffic issued before it — ~1 s
+    in a fresh process, 141–820 s after a design or a few dozen dispatches.
+    Any entry point that will ever read a result back (benchmarks,
+    experiments, calibration, serving) should call this before touching the
+    device.  After the primer, later downloads run in the tunnel's steady
+    slow mode (~50 MB/s, ~20 ms/call) with no multi-minute stall.
+
+    No-op off-TPU and after the first call.
+    """
+    global _transfers_primed
+    if _transfers_primed:
+        return
+    import jax
+
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+
+        np.asarray(jnp.zeros((), jnp.float32))
+    _transfers_primed = True
+
 
 def design_cache_key(**kwargs) -> str:
     """Stable hash of design inputs: arrays are hashed by bytes, everything
