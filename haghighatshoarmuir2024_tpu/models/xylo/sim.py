@@ -25,6 +25,14 @@ LIFBitshift convention (decay previous state, then integrate).  The quantized
 pipeline's DoA statistics are validated against the float pipeline instead
 (tests/test_xylo.py), which is the contract the reference's own accuracy
 harnesses check (paper_plots/target_xylo_localization.py).
+
+To BOUND that caveat by measurement rather than assertion, every plausible
+alternative step convention is implemented behind static flags
+(``ordering`` in {"decay_first", "integrate_first"} × ``reset`` in
+{"subtract", "zero"}) and ``experiments/xylo_ordering_sensitivity.py`` runs
+the localization Monte-Carlo under each, reporting the DoA-statistic delta
+(RESULTS.md "XyloSim step-ordering sensitivity").  The default is pinned by
+tests/test_xylo_sim.py.
 """
 from __future__ import annotations
 
@@ -47,19 +55,42 @@ def _sat(x):
     ).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("uniform_rec", "record"))
+@functools.partial(
+    jax.jit, static_argnames=("uniform_rec", "record", "ordering", "reset")
+)
 def _sim_hidden(
-    inp, w_rec, rec_coef, dash_syn, dash_mem, threshold, state0, uniform_rec, record
+    inp,
+    w_rec,
+    rec_coef,
+    dash_syn,
+    dash_mem,
+    threshold,
+    state0,
+    uniform_rec,
+    record,
+    ordering: str = "decay_first",
+    reset: str = "subtract",
 ):
     """Scan the hidden-layer integer LIF over time.
 
     Args:
         inp: (T, N) int32 pre-summed input current per step.
         state0: (isyn, vmem, spk) int32 (N,) initial state.
+        ordering: "decay_first" (default; decay the previous state, then add
+            this step's input — the documented LIFBitshift convention) or
+            "integrate_first" (add the input, then apply the bitshift decay
+            to the updated state — the other plausible reading of the
+            hardware step, measured in experiments/xylo_ordering_sensitivity.py).
+        reset: "subtract" (default; vmem -= threshold on spike, Xylo-A2
+            membrane subtract-reset) or "zero" (reset-to-zero).
 
     Returns:
         (spikes (T, N) int32, final_state, rec dict)
     """
+    if ordering not in ("decay_first", "integrate_first"):
+        raise ValueError(f"unknown ordering {ordering!r}")
+    if reset not in ("subtract", "zero"):
+        raise ValueError(f"unknown reset {reset!r}")
 
     def step(carry, inp_t):
         isyn, vmem, spk = carry
@@ -70,10 +101,19 @@ def _sim_hidden(
                 spk.astype(jnp.float32), w_rec.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
-        isyn = _sat(isyn - jax.lax.shift_right_arithmetic(isyn, dash_syn) + inp_t + rec_in)
-        vmem = _sat(vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn)
+        if ordering == "decay_first":
+            isyn = _sat(isyn - jax.lax.shift_right_arithmetic(isyn, dash_syn) + inp_t + rec_in)
+            vmem = _sat(vmem - jax.lax.shift_right_arithmetic(vmem, dash_mem) + isyn)
+        else:  # integrate_first
+            x = _sat(isyn + inp_t + rec_in)
+            isyn = _sat(x - jax.lax.shift_right_arithmetic(x, dash_syn))
+            y = _sat(vmem + isyn)
+            vmem = _sat(y - jax.lax.shift_right_arithmetic(y, dash_mem))
         spk_new = (vmem >= threshold).astype(jnp.int32)
-        vmem = vmem - spk_new * threshold
+        if reset == "subtract":
+            vmem = vmem - spk_new * threshold
+        else:
+            vmem = jnp.where(spk_new > 0, jnp.int32(0), vmem)
         out = (spk_new, isyn, vmem) if record else (spk_new,)
         return (isyn, vmem, spk_new), out
 
@@ -91,9 +131,17 @@ class XyloSim:
     hidden spikes in ``rec["Spikes"]`` (micloc/xylo_snn_localization.py:358-377).
     """
 
-    def __init__(self, config: XyloConfig, output_mode: str = "Spike"):
+    def __init__(
+        self,
+        config: XyloConfig,
+        output_mode: str = "Spike",
+        ordering: str = "decay_first",
+        reset: str = "subtract",
+    ):
         self.config = config
         self.output_mode = output_mode
+        self.ordering = ordering
+        self.reset = reset
         self.dt = config.dt
 
         self._w_in = jnp.asarray(config.w_in, dtype=jnp.int32)
@@ -155,6 +203,8 @@ class XyloSim:
             self._state,
             uniform_rec=self._uniform_rec,
             record=record,
+            ordering=self.ordering,
+            reset=self.reset,
         )
 
         # output layer (readout LIF; the localization pipeline only uses the
@@ -174,6 +224,8 @@ class XyloSim:
             self._state_out,
             uniform_rec=True,
             record=False,
+            ordering=self.ordering,
+            reset=self.reset,
         )
 
         rec: Dict[str, jnp.ndarray] = {"Spikes": spikes}
@@ -310,11 +362,18 @@ class XyloSimPushToHidden:
         return spikes, state, rec
 
 
-def sim_hidden_batch(config: XyloConfig, spikes_in_batch):
+def sim_hidden_batch(
+    config: XyloConfig,
+    spikes_in_batch,
+    ordering: str = "decay_first",
+    reset: str = "subtract",
+):
     """Stateless batched evolve: (B, T, N_in) → hidden spikes (B, T, N_hid).
 
     The Monte-Carlo path: one vmapped scan, so the per-step elementwise update
-    covers B×N lanes on the VPU.
+    covers B×N lanes on the VPU.  ``ordering``/``reset`` select the LIF step
+    convention (see :func:`_sim_hidden`) for the sensitivity study in
+    experiments/xylo_ordering_sensitivity.py.
     """
     w_in = jnp.asarray(config.w_in, jnp.int32)
     wr = np.asarray(config.w_rec)
@@ -335,7 +394,7 @@ def sim_hidden_batch(config: XyloConfig, spikes_in_batch):
         state0 = tuple(jnp.zeros(n, jnp.int32) for _ in range(3))
         spikes, _, _ = _sim_hidden(
             inp, w_rec, rec_coef, dash_syn, dash_mem, threshold, state0,
-            uniform_rec=uniform, record=False,
+            uniform_rec=uniform, record=False, ordering=ordering, reset=reset,
         )
         return spikes
 
