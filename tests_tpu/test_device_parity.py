@@ -375,3 +375,76 @@ def test_srp_phat_device_matches_host_reference():
     est = grid[int(np.argmax(p_dev))]
     step = grid[1] - grid[0]
     assert abs(np.arcsin(abs(np.sin(est - doa_true)))) <= step + 1e-6
+
+
+# ------------------------------------------------------- lifted IIR encode
+def _cumsum_of_scan(b, a, x):
+    """The reference composition the lifted form must match:
+    cumsum(lfilter(b, a, x)) (micloc/spike_encoder.py:115-127 +
+    micloc/xylo_snn_localization.py:336-347), both stages on-device."""
+    from haghighatshoarmuir2024_tpu.ops.iir import iir_filter
+
+    y = iir_filter(b, a, x, axis=0, method="scan")
+    return jnp.cumsum(y, axis=0)
+
+
+@pytest.mark.parametrize(
+    "band,T,L",
+    [
+        ((1600.0, 1900.0), 12_000, 16),  # the benchmark band/shape
+        ((500.0, 3000.0), 24_000, 8),  # wide-robust-width 3-band outer shape
+    ],
+)
+def test_iir_blocked_cumsum_device_parity(band, T, L):
+    """VERDICT r3 #4: direct on-chip parity for the level-2 modal-basis
+    lifted IIR (ops/iir.py blocked_cumsum) — the most numerically intricate
+    path in the repo, carrying the whole encode — vs the sequential scan
+    composition, at <= 1e-5 relative error in float32."""
+    from haghighatshoarmuir2024_tpu.ops.iir import butter_bandpass, iir_filter
+
+    b, a = butter_bandpass(1, band, 48_000.0)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((T, L)).astype(np.float32))
+
+    got = np.asarray(
+        jax.jit(
+            lambda xx: iir_filter(b, a, xx, axis=0, method="blocked_cumsum")
+        )(x)
+    )
+    ref = np.asarray(jax.jit(lambda xx: _cumsum_of_scan(b, a, xx))(x))
+
+    # relative to the running scale of the integrated signal (it crosses
+    # zero pointwise, so normalize by the column's max magnitude)
+    scale = np.maximum(np.abs(ref).max(axis=0, keepdims=True), 1e-12)
+    err = np.abs(got - ref) / scale
+    assert err.max() <= 1e-5, f"max rel err {err.max():.3e}"
+
+
+def test_iir_blocked_cumsum_carried_seam_device():
+    """Streaming seam: two chunks with the carried (N+1) state equal one
+    full pass, on the real chip."""
+    from haghighatshoarmuir2024_tpu.ops.iir import butter_bandpass, iir_filter
+
+    b, a = butter_bandpass(1, (1600.0, 1900.0), 48_000.0)
+    rng = np.random.default_rng(5)
+    T, L = 12_800, 8  # multiple of the 32-sample block
+    x = rng.standard_normal((T, L)).astype(np.float32)
+
+    full = np.asarray(
+        jax.jit(
+            lambda xx: iir_filter(b, a, xx, axis=0, method="blocked_cumsum")
+        )(jnp.asarray(x))
+    )
+
+    @jax.jit
+    def chunked(x1, x2):
+        y1, s = iir_filter(
+            b, a, x1, axis=0, method="blocked_cumsum", return_state=True
+        )
+        y2 = iir_filter(b, a, x2, axis=0, method="blocked_cumsum", zi=s)
+        return jnp.concatenate([y1, y2], axis=0)
+
+    got = np.asarray(chunked(jnp.asarray(x[: T // 2]), jnp.asarray(x[T // 2 :])))
+    scale = np.maximum(np.abs(full).max(axis=0, keepdims=True), 1e-12)
+    err = np.abs(got - full) / scale
+    assert err.max() <= 1e-5, f"seam max rel err {err.max():.3e}"
