@@ -124,6 +124,10 @@ struct Stream {
   std::deque<std::vector<uint8_t>> ready;  // full chunks awaiting the batch loop
   std::vector<uint8_t> partial;            // tail of the last frame, < chunk
   int fd = -1;                           // live socket (results route here)
+  uint64_t gen = 0;                      // bumped on every claim/close: kills
+                                         // the fd-number ABA (a recycled fd
+                                         // re-claiming the same slot mid-frame
+                                         // must not inherit partial sends)
   bool reset_pending = false;            // new claim: zero carried state first
   bool throttled = false;                // fd removed from epoll interest set
   ShmRing shm;                           // shm transport when base != nullptr
@@ -166,6 +170,7 @@ void close_conn(Server* s, int fd) {
       std::lock_guard<std::mutex> lk(s->mu);
       if (s->streams[id].fd == fd) {
         s->streams[id].fd = -1;
+        s->streams[id].gen++;
         s->streams[id].throttled = false;
       }
     }
@@ -238,6 +243,7 @@ void handle_readable(Server* s, int fd) {
             ok = false;  // slot already live (TCP or shm): reject
           } else {
             st.fd = fd;
+            st.gen++;
             st.reset_pending = true;
             st.throttled = false;
             st.partial.clear();
@@ -518,9 +524,11 @@ void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
     size_t off = 0;
     int spins = 0;
     int fd0;
+    uint64_t gen0;
     {
       std::lock_guard<std::mutex> lk(s->mu);
       fd0 = s->streams[ids[i]].fd;
+      gen0 = s->streams[ids[i]].gen;
     }
     if (fd0 < 0) continue;  // stream not live; drop
     while (off < sizeof(msg)) {
@@ -530,10 +538,14 @@ void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
         // and the epoll thread's close path (which takes the same mutex
         // before publishing fd=-1) can never close/recycle fd0 mid-send —
         // a result can never land on a reused fd number.  The fd is pinned
-        // to fd0 for the WHOLE frame: if the slot is reclaimed mid-frame,
-        // the remaining bytes must not splice into the successor's stream.
+        // to (fd0, gen0) for the WHOLE frame: if the slot is reclaimed
+        // mid-frame, the remaining bytes must not splice into the
+        // successor's stream.  The generation check closes the ABA hole
+        // where accept() recycles the same fd number to a new client that
+        // HELLOs the same slot within the retry window.
         std::lock_guard<std::mutex> lk(s->mu);
-        if (s->streams[ids[i]].fd != fd0) break;  // died/reclaimed: drop
+        if (s->streams[ids[i]].fd != fd0 ||
+            s->streams[ids[i]].gen != gen0) break;  // died/reclaimed: drop
         r = ::send(fd0, msg + off, sizeof(msg) - off,
                    MSG_NOSIGNAL | MSG_DONTWAIT);
       }
@@ -553,8 +565,9 @@ void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
         if (++spins > 40) {
           std::lock_guard<std::mutex> lk(s->mu);
           Stream& st = s->streams[ids[i]];
-          if (st.fd == fd0) {  // only shoot a conn that is still ours —
-            st.fd = -1;        // fd0 may be recycled once fd != fd0
+          if (st.fd == fd0 && st.gen == gen0) {  // only shoot our own conn —
+            st.fd = -1;        // fd0 may be recycled once (fd, gen) moved on
+            st.gen++;
             st.throttled = false;
             ::shutdown(fd0, SHUT_RDWR);
           }
