@@ -19,6 +19,7 @@ from haghighatshoarmuir2024_tpu.models.music import MUSIC
 def main(kind: str = "circular", snr_db: float = 20.0):
     geometry, doa_list = build_geometry(kind)
     results = {}
+    pats = {}
     for freq_design in (1_000.0, 2_000.0, 4_000.0):
         freq_range = (0.5 * freq_design, freq_design)
         music = MUSIC(geometry, freq_range, doa_list, frame_duration=0.25, fs=FS)
@@ -38,6 +39,8 @@ def main(kind: str = "circular", snr_db: float = 20.0):
                 )
             ).mean(0)
             est = doa_list[int(np.argmax(aps))]
+            if name == "doa_0":
+                pats[f"{freq_design:.0f} Hz"] = aps
             entry[name] = {
                 "peak_err_deg": float(
                     np.rad2deg(np.arcsin(abs(np.sin(est - doa_target))))
@@ -45,6 +48,11 @@ def main(kind: str = "circular", snr_db: float = 20.0):
                 "beamwidth_3db_deg": beamwidth_3db(aps, doa_list),
             }
         results[f"{freq_design:.0f}Hz"] = entry
+    from common import fig_polar_patterns
+
+    # polar angular-response panels (paper_plots/array_resolution_music.py:95-180
+    # figure style: MUSIC pseudo-spectrum per design frequency, source at 0)
+    fig_polar_patterns(pats, doa_list, f"array_resolution_music_{kind}.pdf")
     print(
         json.dumps(
             {"experiment": f"array_resolution_music_{kind}", "results": results},

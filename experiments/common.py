@@ -16,6 +16,14 @@ from typing import Optional, Tuple
 
 import numpy as np
 import jax
+
+# HM2024_PLATFORM=cpu runs an experiment on the host instead of the TPU
+# (useful for figure refreshes while the chip is busy; env JAX_PLATFORMS
+# cannot override the axon default — see CLAUDE.md — but config.update
+# before first backend use can)
+if os.environ.get("HM2024_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["HM2024_PLATFORM"])
+
 import jax.numpy as jnp
 
 FS = 48_000

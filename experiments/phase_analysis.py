@@ -8,7 +8,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from common import FS, chirp_template
+from common import FS, chirp_template, fig_lines
 
 from haghighatshoarmuir2024_tpu.ops.stht import stht, stht_kernel
 from haghighatshoarmuir2024_tpu.utils import to_numpy
@@ -33,6 +33,15 @@ def overlapping_exponentials():
     a, K = _analytic(sig)
     phase = np.unwrap(np.angle(a[2 * K : -2 * K]))
     f_inst = np.diff(phase) / (2 * np.pi) * FS
+    # paper_plots/phase_plot.py figure: instantaneous frequency of the
+    # two-tone sum vs the component frequencies
+    ts = t[2 * K : -2 * K][:-1][: len(f_inst)]
+    fig_lines(
+        ts,
+        {"f_inst": f_inst, f"f1={f1:.0f}": np.full_like(f_inst, f1),
+         f"f2={f2:.0f}": np.full_like(f_inst, f2)},
+        "phase_plot.pdf", xlabel="t [s]", ylabel="inst. frequency [Hz]",
+    )
     return {
         "f_inst_mean": float(f_inst.mean()),
         "f_inst_in_band_frac": float(np.mean((f_inst > f1 - 150) & (f_inst < f2 + 150))),
@@ -51,6 +60,11 @@ def random_wideband_phase(seed: int = 0):
     an, K = _analytic(sig)
     phase = np.unwrap(np.angle(an[2 * K : -2 * K]))
     f_inst = np.diff(phase) / (2 * np.pi) * FS
+    # paper_plots/random_phase.py figure: wideband instantaneous frequency
+    # concentrating around the band center
+    ts = t[2 * K : -2 * K][:-1][: len(f_inst)]
+    fig_lines(ts, {"f_inst (1600-1900 Hz noise)": f_inst}, "random_phase.pdf",
+              xlabel="t [s]", ylabel="inst. frequency [Hz]")
     return {
         "f_inst_median": float(np.median(f_inst)),
         "f_inst_iqr": float(np.percentile(f_inst, 75) - np.percentile(f_inst, 25)),
@@ -66,6 +80,9 @@ def chirp_phase():
     f_inst = np.diff(phase) / (2 * np.pi) * FS
     f_true = 1600.0 + (2000.0 - 1600.0) * (t[sl][:-1] / t[-1])
     err = np.abs(f_inst - f_true)
+    # paper_plots/chirp_phase_plot.py figure: recovered vs programmed sweep
+    fig_lines(t[sl][:-1], {"recovered f_inst": f_inst, "programmed sweep": f_true},
+              "chirp_phase_plot.pdf", xlabel="t [s]", ylabel="frequency [Hz]")
     return {"freq_track_mae_hz": float(err.mean()), "freq_track_p95_hz": float(np.percentile(err, 95))}
 
 

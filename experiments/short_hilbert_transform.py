@@ -7,7 +7,7 @@ import json
 import numpy as np
 import jax.numpy as jnp
 
-from common import FS
+from common import FS, _fig_dir, _plt, maybe_savefig
 
 from haghighatshoarmuir2024_tpu.ops.stht import stht, stht_kernel
 from haghighatshoarmuir2024_tpu.ops.spikes import rzcc_encode
@@ -61,6 +61,27 @@ def rzcc_spike_timing(freq: float = 2000.0):
     rw = int(FS / freq) // 2
     spikes = np.asarray(rzcc_encode(jnp.asarray(sig[:, None]), rw, bipolar=True))[:, 0]
     pos = np.nonzero(spikes == 1)[0]
+    neg = np.nonzero(spikes == -1)[0]
+    # paper_plots/rzcc_plots.py figure: the tone with its bipolar RZCC spike
+    # train (stems at the zero crossings)
+    if _fig_dir():
+        plt = _plt()
+        fig, ax = plt.subplots(figsize=(7, 3))
+        n = int(FS / freq * 8)  # ~8 periods
+        ax.plot(t[:n] * 1e3, sig[:n], lw=1, label=f"{freq:.0f} Hz tone")
+        for idx, linefmt, markerfmt, lbl in (
+            (pos, "g-", "g^", "+1 spikes"),
+            (neg, "r-", "rv", "-1 spikes"),
+        ):
+            sel = idx[idx < n]
+            ax.stem(
+                t[sel] * 1e3, spikes[sel] * 0.9,
+                linefmt=linefmt, markerfmt=markerfmt, basefmt=" ", label=lbl,
+            )
+        ax.set_xlabel("t [ms]")
+        ax.legend(loc="upper right", fontsize=8)
+        maybe_savefig(fig, "rzcc_plots.pdf")
+        plt.close(fig)
     # +1 spikes (peaks of cumsum) sit at downward zero crossings of sin:
     # phase ~ pi mod 2pi -> t*freq mod 1 ~ 0.5
     phases = (t[pos] * freq) % 1.0
@@ -72,6 +93,24 @@ def rzcc_spike_timing(freq: float = 2000.0):
 
 
 def main():
+    # paper_plots/short_hilbert_transform.py figure: |H(f)| of the STHT
+    # kernel per duration vs the ideal Hilbert response
+    if _fig_dir():
+        plt = _plt()
+        fig, ax = plt.subplots(figsize=(6, 4))
+        nfft = 1 << 16
+        freqs = np.fft.rfftfreq(nfft, 1 / FS)
+        for d in (5e-3, 10e-3, 20e-3):
+            ker = stht_kernel(int(FS * d))
+            H = np.fft.rfft(ker, nfft)
+            ax.plot(freqs / 1e3, np.abs(H), lw=1, label=f"{d*1e3:.0f} ms kernel")
+        ax.axhline(1.0, color="k", ls="--", lw=0.8, label="ideal Hilbert")
+        ax.set_xlim(0, 10)
+        ax.set_xlabel("frequency [kHz]")
+        ax.set_ylabel("|H(f)|")
+        ax.legend(fontsize=8)
+        maybe_savefig(fig, "short_hilbert_transform.pdf")
+        plt.close(fig)
     out = {
         "kernel_response": {
             f"{int(d*1e3)}ms": kernel_frequency_response(d) for d in (5e-3, 10e-3, 20e-3)
