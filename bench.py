@@ -75,6 +75,14 @@ def main():
     # flight) — r3's "compile 270 s" was this stall hiding inside lowering
     # via a device-array closure.  See CLAUDE.md + RESULTS.md cold-start
     # section.
+    print(
+        "# priming axon tunnel (first-D2H; pays any server-side debt left by "
+        "earlier processes — can stall 1-900+ s, see RESULTS.md cold-start "
+        "section; drain up front with `python -m "
+        "haghighatshoarmuir2024_tpu.utils.cache`)...",
+        file=sys.stderr,
+        flush=True,
+    )
     t0p = time.time()
     prime_transfers()
     primer_time = time.time() - t0p

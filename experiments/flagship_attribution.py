@@ -153,6 +153,14 @@ def main():
     aud = B * 0.25
     print(f"throughput             {aud / (t_matched / 1e3):7.1f} audio-sec/sec")
 
+    # Drain the tunnel's D2H debt before exiting: this harness dispatches
+    # ~900 programs and never fetches results — without a drain the NEXT
+    # process's first download pays for all of it (measured 278 s;
+    # CLAUDE.md "Axon D2H poison" item 4).
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros((), jnp.float32))
+    print(f"[tunnel drain {time.perf_counter() - t0:.1f}s]", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -119,3 +119,19 @@ class DesignCache:
         tmp = self._path(key).with_suffix(".tmp.npz")
         np.savez(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(tmp, self._path(key))
+
+
+if __name__ == "__main__":
+    # Drain the axon tunnel's cross-process D2H debt at a chosen moment:
+    # `python -m haghighatshoarmuir2024_tpu.utils.cache`.  Measured (r4):
+    # the first-D2H stall is dominated by SERVER-side state left by earlier
+    # processes that dispatched without fetching (a fresh process with zero
+    # own traffic paid 278 s right after a dispatch-heavy session; the next
+    # one paid 12.6 s) — paying it once drains it for successors.  Run this
+    # after dispatch-heavy jobs and before anything latency-sensitive.
+    import sys
+    import time
+
+    _t0 = time.time()
+    prime_transfers()
+    print(f"tunnel drained in {time.time() - _t0:.1f}s", file=sys.stderr)
