@@ -111,16 +111,18 @@ def main():
     # 2980/3258/3462/3393/3273 audio-sec/sec) — B=96 balances the LIF's
     # (B, 512) VPU tiles against the RZCC row-tile padding
     batch_size = 96
-    key = jax.random.PRNGKey(0)
     doas = np.linspace(-np.pi, np.pi, batch_size, endpoint=False)
     frames = []
     for i, doa in enumerate(doas):
         s = np.asarray(signal_from_template(geometry, t, sig, float(doa), fs=fs))
         frames.append(s)
     frames = np.stack(frames).astype(np.float32)
-    frames = frames + 0.1 * np.asarray(
-        jax.random.normal(key, frames.shape), dtype=np.float32
-    )
+    # numpy RNG: a jax.random.normal here compiled an extra program AND
+    # downloaded 32 MB device->host inside the "compile" phase (pure
+    # measurement noise through the axon tunnel's slow mode)
+    frames = frames + 0.1 * np.random.default_rng(0).standard_normal(
+        frames.shape
+    ).astype(np.float32)
     frames_j = jnp.asarray(frames)
 
     # matched-profile calibration (cached with the design, so amortized):
@@ -194,6 +196,14 @@ def main():
     )
     if ok_matched < 1.0:
         print("# WARNING: matched accuracy gate failed", file=sys.stderr)
+
+    # Drain the tunnel's D2H debt before exiting so the NEXT process (a
+    # bench rerun, the driver's next step) doesn't inherit a multi-minute
+    # primer: a bench run without this was measured to leave 368 s of debt
+    # (CLAUDE.md "Axon D2H poison" item 4).
+    t0d = time.time()
+    np.asarray(jnp.zeros((), jnp.float32))
+    print(f"# exit drain {time.time() - t0d:.1f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":
