@@ -417,7 +417,15 @@ def test_iir_blocked_cumsum_device_parity(band, T, L):
     # zero pointwise, so normalize by the column's max magnitude)
     scale = np.maximum(np.abs(ref).max(axis=0, keepdims=True), 1e-12)
     err = np.abs(got - ref) / scale
-    assert err.max() <= 1e-5, f"max rel err {err.max():.3e}"
+    # Both sides run float32 with HIGHEST-precision matmuls, but they sum
+    # the same series in different orders (stepwise scan vs blocked
+    # matmuls), so the achievable agreement is random-walk roundoff
+    # ~sqrt(T)*eps_f32: 1.3e-5 at T=12000, 1.9e-5 at T=24000 (measured on
+    # the chip: 1.44e-5 / 3.01e-5).  Gate at 3x that bound; algorithmic
+    # exactness is pinned separately by the float64 CPU goldens in
+    # tests/test_ops_filters.py.
+    bound = 3.0 * np.sqrt(T) * np.finfo(np.float32).eps
+    assert err.max() <= bound, f"max rel err {err.max():.3e} (bound {bound:.3e})"
 
 
 def test_iir_blocked_cumsum_carried_seam_device():
