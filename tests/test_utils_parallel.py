@@ -234,3 +234,26 @@ def test_data_parallel_program_partitions_per_device():
     for shape in re.findall(r"(\w+)\[([\d,]+)\][^\n]*all-gather\(", txt):
         sizes = [int(s) for s in shape[1].split(",") if s]
         assert np.prod(sizes) <= num_sims, f"large all-gather found: {shape}"
+
+
+def test_prime_transfers_and_drain_entrypoint():
+    """prime_transfers is an idempotent no-op off-TPU, and the drain CLI
+    (`python -m haghighatshoarmuir2024_tpu.utils.cache`) exits 0 — both are
+    load-bearing for the axon first-D2H debt protocol (CLAUDE.md)."""
+    import subprocess
+    import sys
+
+    from haghighatshoarmuir2024_tpu.utils.cache import prime_transfers
+
+    prime_transfers()
+    prime_transfers()  # second call must be a no-op, not an error
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "import runpy; runpy.run_module("
+         "'haghighatshoarmuir2024_tpu.utils.cache', run_name='__main__')"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "drained" in r.stderr
