@@ -21,6 +21,7 @@ from haghighatshoarmuir2024_tpu.models.beamformer import Beamformer
 from haghighatshoarmuir2024_tpu.models.xylo import Demo
 from haghighatshoarmuir2024_tpu.ops.interp import received_signal
 from haghighatshoarmuir2024_tpu.utils import to_numpy
+from haghighatshoarmuir2024_tpu.utils.tracking import track_angles
 
 
 def main(duration: float = 4.0, snr_db: float = 10.0, frame: float = 0.25):
@@ -64,6 +65,15 @@ def main(duration: float = 4.0, snr_db: float = 10.0, frame: float = 0.25):
         "mae_deg": float(np.rad2deg(err.mean())),
     }
 
+    # wrapped-angle alpha-beta tracker on the per-frame estimates
+    # (utils/tracking.py — beyond parity: the reference scores raw frames)
+    tracked = np.asarray(track_angles(np.asarray(ests, np.float32)))
+    err_t = np.arcsin(np.abs(np.sin(tracked - doa_true)))
+    results["hilbert_tracked"] = {
+        "median_err_deg": float(np.rad2deg(np.median(err_t))),
+        "mae_deg": float(np.rad2deg(err_t.mean())),
+    }
+
     # quantized Xylo tracker
     demo = Demo(
         geometry=geometry,
@@ -84,6 +94,13 @@ def main(duration: float = 4.0, snr_db: float = 10.0, frame: float = 0.25):
         "mae_deg": float(np.rad2deg(err_x.mean())),
     }
 
+    tracked_x = np.asarray(track_angles(np.asarray(ests_x, np.float32)))
+    err_xt = np.arcsin(np.abs(np.sin(tracked_x - doa_true)))
+    results["xylo_tracked"] = {
+        "median_err_deg": float(np.rad2deg(np.median(err_xt))),
+        "mae_deg": float(np.rad2deg(err_xt.mean())),
+    }
+
     from common import fig_lines
 
     fig_lines(
@@ -92,6 +109,8 @@ def main(duration: float = 4.0, snr_db: float = 10.0, frame: float = 0.25):
             "true": np.rad2deg(doa_true),
             "hilbert": np.rad2deg(np.asarray(ests)),
             "xylo": np.rad2deg(np.asarray(ests_x)),
+            "hilbert tracked": np.rad2deg(tracked),
+            "xylo tracked": np.rad2deg(tracked_x),
         },
         "moving_target_track.pdf",
         xlabel="time [s]",

@@ -5,6 +5,7 @@ from .stats import analyze_doa_samples, mae, window_median
 from .cache import DesignCache, design_cache_key
 from .isotonic import approx_decreasing, isotonic_increasing
 from .profiling import StageTimer, benchmark_fn, device_trace
+from .tracking import DoaTracker, track_angles, track_step
 
 
 def to_numpy(x):
@@ -35,4 +36,7 @@ __all__ = [
     "StageTimer",
     "benchmark_fn",
     "device_trace",
+    "DoaTracker",
+    "track_angles",
+    "track_step",
 ]
