@@ -105,7 +105,8 @@ class LocalizationServer:
                  port: int = 0, method: str | None = None,
                  batch_window_ms: int = 10, wire_dtype: str = "f32",
                  wire_upsample: int = 1, mesh=None, mesh_axis: str = "data",
-                 forget: float | None = None):
+                 forget: float | None = None, track: bool = False,
+                 track_alpha: float = 0.35, track_gate_deg: float = 25.0):
         self.sl = StreamingLocalizer(demo)
         self.demo = demo
         self.B = int(max_streams)
@@ -172,6 +173,19 @@ class LocalizationServer:
         # per step() stage, for attributing end-to-end serving wall time
         self.stage_times = {"wait": 0.0, "device": 0.0, "route": 0.0, "steps": 0}
         self._timing = os.environ.get("HM2024_SERVE_TIMING") in ("1", "2")
+        # opt-in per-stream DoA tracking (utils/tracking.py): each slot
+        # carries a wrapped-angle alpha-beta tracker over its chunk
+        # estimates; gross single-chunk outliers coast instead of reaching
+        # the client.  Host-side (n<=B scalar updates per step, ~us) so the
+        # device program is unchanged; reset claims re-bootstrap the slot.
+        self._trackers = None
+        if track:
+            from ..utils.tracking import DoaTracker
+
+            self._trackers = [
+                DoaTracker(alpha=track_alpha, gate_deg=track_gate_deg)
+                for _ in range(self.B)
+            ]
         # multi-chip serving: shard the stream axis of every device program
         # over `mesh` (pure data parallel — streams are independent, zero
         # collectives; see StreamingLocalizer.make_sharded_step).  The stream
@@ -475,7 +489,11 @@ class LocalizationServer:
         n_reset = self._n_resets.value
         reset_mask = np.zeros(self.B, np.float32)
         if n_reset > 0:
-            reset_mask[np.ctypeslib.as_array(self._reset_buf)[:n_reset]] = 1.0
+            reset_slots = np.ctypeslib.as_array(self._reset_buf)[:n_reset]
+            reset_mask[reset_slots] = 1.0
+            if self._trackers is not None:
+                for s in reset_slots:
+                    self._trackers[int(s)].reset()
         if n <= 0:
             if n_reset > 0:
                 self._state = self._reset(self._state, reset_mask)
@@ -516,7 +534,14 @@ class LocalizationServer:
         all_doas = np.asarray(doa_dev, np.float32)
         t2 = _time.monotonic() if self._timing else 0.0
         out_ids = (ctypes.c_uint32 * n)(*ids.tolist())
-        out_doas = (ctypes.c_float * n)(*all_doas[ids].tolist())
+        if self._trackers is not None:
+            out_vals = [
+                self._trackers[int(i)].update(float(all_doas[int(i)]))
+                for i in ids
+            ]
+        else:
+            out_vals = all_doas[ids].tolist()
+        out_doas = (ctypes.c_float * n)(*out_vals)
         self._lib.sd_post_results(self._h, n, out_ids, out_doas)
         if self._timing:
             t3 = _time.monotonic()

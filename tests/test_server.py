@@ -552,3 +552,41 @@ def test_server_matched_stacked_multiband(method):
         c.close()
     step = np.degrees(grid[1] - grid[0])
     assert _folded_deg(got, doa_true) <= 2 * step, (got, doa_true)
+
+
+def test_server_tracked_doas(demo):
+    """track=True: per-stream wrapped-angle alpha-beta tracking on the
+    posted DoAs (utils/tracking.py).  The tracked stream converges on a
+    stationary source, and tracker state resets with the slot on
+    reconnect (a successor at a different DoA re-acquires immediately
+    instead of being dragged by the predecessor's track)."""
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * FS)
+    doa_true = 0.7
+    with LocalizationServer(
+        demo, max_streams=2, chunk_sec=chunk_sec, track=True
+    ) as srv:
+        srv.start()
+        c = StreamClient(srv.port, 0)
+        sig = _stream_signal(demo, doa_true, 4 * chunk_sec, seed=0)
+        last = None
+        for k in range(4):
+            c.send(sig[k * Tc : (k + 1) * Tc])
+            rid, last = c.recv_doa(timeout=300.0)
+            assert rid == 0
+        assert _folded_deg(last, doa_true) < 25.0
+        c.close()
+
+        # successor claims the same slot at a far DoA: the tracker must
+        # have been reset (otherwise its 25-deg gate would coast on the
+        # predecessor's angle and never report the new source)
+        c2 = StreamClient(srv.port, 0)
+        doa_new = -1.4
+        sig2 = _stream_signal(demo, doa_new, 4 * chunk_sec, seed=1)
+        last2 = None
+        for k in range(4):
+            c2.send(sig2[k * Tc : (k + 1) * Tc])
+            rid, last2 = c2.recv_doa(timeout=300.0)
+            assert rid == 0
+        assert _folded_deg(last2, doa_new) < 25.0, (last2, doa_new)
+        c2.close()
