@@ -109,6 +109,10 @@ def main(argv=None):
     p.add_argument("--no-calibrate", action="store_true",
                    help="xylo: reference-parity peak estimator instead of "
                         "the calibrated matched estimator")
+    p.add_argument("--track", action="store_true",
+                   help="wrapped-angle alpha-beta tracking on the per-frame "
+                        "estimates (utils/tracking.py): adds doa_tracked_* "
+                        "fields; outlier frames coast on the track")
     p.add_argument("--max-frames", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -133,6 +137,11 @@ def main(argv=None):
     )
 
     rng = np.random.default_rng(0)
+    tracker = None
+    if args.track:
+        from ..utils.tracking import DoaTracker
+
+        tracker = DoaTracker()
     results = []
     for i, chunk in enumerate(src.frames(args.frame)):
         if args.max_frames is not None and i >= args.max_frames:
@@ -162,6 +171,10 @@ def main(argv=None):
         rec = {"frame": i, "t_sec": round(i * args.frame, 3),
                "doa_rad": round(doa, 4),
                "doa_deg": round(float(np.rad2deg(doa)), 2)}
+        if tracker is not None:
+            trk = tracker.update(doa)
+            rec["doa_tracked_rad"] = round(trk, 4)
+            rec["doa_tracked_deg"] = round(float(np.rad2deg(trk)), 2)
         results.append(rec)
         print(json.dumps(rec), flush=True)
 

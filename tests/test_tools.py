@@ -83,3 +83,17 @@ def test_localize_stacked_needs_multiband(tone_wav, capsys):
                "--stacked", "--simulate-doa", "0.9", "--frame", "0.125",
                "--grid", "33", "--max-frames", "1"])
     assert rc == 2
+
+
+def test_localize_tracked_fields(tone_wav, capsys):
+    rc, recs = _run(
+        [tone_wav, "--model", "srp", "--band", "1400", "2100",
+         "--simulate-doa", "0.7", "--snr-db", "10", "--frame", "0.125",
+         "--grid", "129", "--max-frames", "3", "--track"],
+        capsys,
+    )
+    assert rc == 0
+    frames = [r for r in recs if "frame" in r]
+    assert all("doa_tracked_rad" in r and "doa_tracked_deg" in r for r in frames)
+    err = np.rad2deg(np.arcsin(abs(np.sin(frames[-1]["doa_tracked_rad"] - 0.7))))
+    assert err < 5.0, frames
