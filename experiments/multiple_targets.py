@@ -19,14 +19,24 @@ from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
 from haghighatshoarmuir2024_tpu.ops.peaks import find_peaks_mask
 
 
-def signal_multiple_targets(geometry, time_temp, sig_temps, doas, powers=None):
+def signal_multiple_targets(geometry, time_temp, sig_temps, doas, powers=None,
+                            delay_sign=1):
     """Sum of per-target delayed/power-scaled copies
-    (paper_plots/multiple_targets_snn.py:87-159)."""
+    (paper_plots/multiple_targets_snn.py:87-159).
+
+    ``delay_sign``: the reference's two experiments disagree on the synthesis
+    convention — multiple_targets_snn.py:147 delays with ``t + delay`` while
+    multiple_targets_music.py:147 uses ``t - delay``.  MUSIC's steering
+    matches the minus convention (see ops/interp.signal_from_template), so the
+    MUSIC rows below pass ``delay_sign=-1``; the Hilbert/SNN designs are
+    self-consistent under the plus convention."""
     powers = powers or [1.0] * len(doas)
     sig = 0.0
     for s, doa, p in zip(sig_temps, doas, powers):
         sig = sig + np.sqrt(p) * np.asarray(
-            signal_from_template(geometry, time_temp, s, doa, fs=FS)
+            signal_from_template(
+                geometry, time_temp, s, doa, fs=FS, delay_sign=delay_sign
+            )
         )
     return sig
 
@@ -67,10 +77,25 @@ def main(snr_db: float = 20.0):
             "detected_deg": np.rad2deg(peaks).tolist(),
         }
 
-    # MUSIC
+    # MUSIC — synthesized with the reference's MUSIC convention (t - delay,
+    # paper_plots/multiple_targets_music.py:147); the plus-convention signal
+    # above would mirror both detections by 180° (see
+    # ops/interp.signal_from_template)
+    sig_in_m = signal_multiple_targets(
+        geometry, t, [sig1, sig2], doa_targets, delay_sign=-1
+    )
+    sig_in_m = sig_in_m + np.sqrt(
+        np.mean(sig_in_m**2) / 10 ** (snr_db / 10)
+    ) * rng.standard_normal(sig_in_m.shape)
     music = MUSIC(geometry, freq_range, doa_list, frame_duration=0.25, fs=FS)
-    aps = np.asarray(music.beamforming(jnp.asarray(sig_in), 2, 2048))
+    aps = np.asarray(music.beamforming(jnp.asarray(sig_in_m), 2, 2048))
     out["music"] = {"detected_deg": np.rad2deg(detect_peaks(aps, doa_list)).tolist()}
+    # beyond parity: true noise-subspace MUSIC resolves the pair much more
+    # sharply than the reference's Bartlett scan (models/music.py num_sources)
+    aps2 = np.asarray(music.beamforming(jnp.asarray(sig_in_m), 2, 2048, num_sources=2))
+    out["music_ns2"] = {
+        "detected_deg": np.rad2deg(detect_peaks(aps2, doa_list)).tolist()
+    }
 
     # float SNN
     tau = 1.0 / (2 * np.pi * freq_mid)

@@ -73,11 +73,22 @@ def resample_to_fs(time_temp: np.ndarray, sig_temp: np.ndarray, fs: float):
     return time_interp, sig_interp
 
 
-def signal_from_template(geometry, time_temp, sig_temp, doa, fs: Optional[float] = None):
+def signal_from_template(geometry, time_temp, sig_temp, doa, fs: Optional[float] = None,
+                         delay_sign: int = 1):
     """Build the T×M array signal received from a source at DoA ``doa``.
 
     Equivalent of ``signal_from_template`` at micloc/xylo_snn_localization.py:44-71:
     uses *non-normalized* delays and evaluates the template at ``t + delay``.
+
+    ``delay_sign=-1`` selects the reference's OTHER synthesis convention —
+    ``t - delay``, as used by its MUSIC harnesses
+    (paper_plots/multiple_targets_music.py:147,
+    micloc/music_beamformer.py:307-312).  The two conventions differ by a
+    front/back bearing flip: MUSIC's physics-based steering
+    ``exp(-1j 2π f delay)`` (micloc/music_beamformer.py:83-87) matches the
+    minus convention, so MUSIC inputs MUST be synthesized with
+    ``delay_sign=-1`` (or :func:`received_signal`, which normalizes delays) —
+    feeding it plus-convention audio mirrors every estimate by 180°.
 
     Args:
         geometry: ArrayGeometry.
@@ -85,6 +96,7 @@ def signal_from_template(geometry, time_temp, sig_temp, doa, fs: Optional[float]
         sig_temp: (T,) template samples.
         doa: scalar DoA or per-sample (T,) DoA trajectory.
         fs: sampling rate; inferred from the time grid when None.
+        delay_sign: +1 (xylo/beamformer convention) or -1 (MUSIC convention).
 
     Returns:
         (T, M) jnp array.
@@ -97,6 +109,7 @@ def signal_from_template(geometry, time_temp, sig_temp, doa, fs: Optional[float]
     delays = geometry.delays(doa if doa.ndim else doa[None], normalized=False)
     if doa.ndim == 0:
         delays = delays[0]
+    delays = delay_sign * delays
     tq = time_temp[:, None] + (delays if delays.ndim == 2 else delays[None, :])
     if delays.ndim == 2:
         tq = time_temp[:, None] + delays  # (T, M) trajectory

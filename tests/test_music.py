@@ -201,3 +201,63 @@ def test_music_doa_estimation(setup):
         est = grid[int(np.argmax(aps.mean(0)))]
         err = np.rad2deg(np.arcsin(abs(np.sin(est - doa_true))))
         assert err < 4.0, (doa_true, est, err)
+
+
+def test_music_synthesis_convention_unfolded(setup):
+    """MUSIC's steering exp(-j2pi f d) matches the reference's t - delay
+    synthesis (paper_plots/multiple_targets_music.py:147,
+    micloc/music_beamformer.py:307-312).  The xylo-harness t + delay
+    convention (micloc/xylo_snn_localization.py:63) mirrors every MUSIC
+    estimate by 180 deg — this check is UNFOLDED (no arcsin|sin|), because the
+    folded metric silently hides exactly that mirror (it did, in the r3
+    multiple_targets experiment)."""
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+
+    geometry, music, freq_range, doa_list = setup
+    grid = music.doa_list
+    t = np.arange(0, 0.25, 1 / FS)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    rng = np.random.default_rng(0)
+    for doa_true in (-1.0, 2.2):
+        x = np.asarray(signal_from_template(geometry, t, sig, doa_true, fs=FS,
+                                            delay_sign=-1))
+        x = x + 0.05 * rng.standard_normal(x.shape)
+        aps = np.asarray(music.beamforming(jnp.asarray(x), 1, 2048))
+        est = grid[int(np.argmax(aps))]
+        err = np.abs(np.arctan2(np.sin(est - doa_true), np.cos(est - doa_true)))
+        assert np.rad2deg(err) < 7.0, (doa_true, est)
+        # and the plus convention lands on the OPPOSITE side (documents the
+        # mirror rather than pretending it away)
+        xp = np.asarray(signal_from_template(geometry, t, sig, doa_true, fs=FS))
+        xp = xp + 0.05 * rng.standard_normal(xp.shape)
+        apsp = np.asarray(music.beamforming(jnp.asarray(xp), 1, 2048))
+        estp = grid[int(np.argmax(apsp))]
+        flip = np.abs(np.arctan2(np.sin(estp - doa_true - np.pi),
+                                 np.cos(estp - doa_true - np.pi)))
+        assert np.rad2deg(flip) < 12.0, (doa_true, estp)
+
+
+def test_music_two_sources_unfolded_noise_subspace(setup):
+    """Two tones at +-60 deg, minus-convention synthesis: the noise-subspace
+    pseudospectrum (num_sources=2, beyond parity) resolves BOTH on the
+    correct side of the circle, unfolded, within two grid steps."""
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+    from haghighatshoarmuir2024_tpu.ops.peaks import top_k_peaks
+
+    geometry, music, freq_range, doa_list = setup
+    grid = music.doa_list
+    t = np.arange(0, 0.25, 1 / FS)
+    d1, d2 = -np.pi / 3, np.pi / 3
+    x = np.asarray(signal_from_template(
+        geometry, t, np.sin(2 * np.pi * 1500 * t), d1, fs=FS, delay_sign=-1))
+    x = x + np.asarray(signal_from_template(
+        geometry, t, np.sin(2 * np.pi * 1600 * t), d2, fs=FS, delay_sign=-1))
+    x = x + 0.1 * np.random.default_rng(1).standard_normal(x.shape)
+    aps = music.beamforming(jnp.asarray(x), 2, 2048, num_sources=2)
+    idx, _, ok = top_k_peaks(aps, 2, distance=len(grid) // 16)
+    assert bool(np.all(np.asarray(ok)))
+    ests = np.sort(grid[np.asarray(idx)])
+    step = np.rad2deg(grid[1] - grid[0])
+    for est, true in zip(ests, (d1, d2)):
+        err = np.abs(np.arctan2(np.sin(est - true), np.cos(est - true)))
+        assert np.rad2deg(err) <= 2 * step + 1e-6, (est, true)
