@@ -304,3 +304,35 @@ def find_peaks_mask(x, distance=None, max_plateau=None):
     if distance is None or distance <= 1:
         return cand
     return select_by_distance(cand, x, distance)
+
+
+def top_k_peaks(x, k: int, distance=None, max_plateau=None, rel_height=0.0):
+    """Top-``k`` peaks of a 1-D profile by height, jit-compatible.
+
+    The multi-target harnesses (reference:
+    paper_plots/multiple_targets_snn.py:194-246 picks the two best-separated
+    response maxima by hand) need "the K best well-separated peaks" as a
+    static-shape op: this runs :func:`find_peaks_mask` and selects the ``k``
+    highest survivors with ``lax.top_k``.
+
+    Args:
+        x: (T,) profile (e.g. an angular power/rate response).
+        k: static number of peaks to return.
+        distance: minimal peak spacing in samples (scipy semantics).
+        max_plateau: bounded plateau search (see :func:`find_peaks_mask`).
+        rel_height: drop peaks below ``rel_height * max(x)`` — the
+            resolvability threshold the multi-target experiments apply.
+
+    Returns:
+        ``(idx, height, valid)`` — each ``(k,)``; invalid entries (fewer than
+        ``k`` qualifying peaks) have ``valid=False`` and ``idx=0``.
+    """
+    x = jnp.asarray(x)
+    mask = find_peaks_mask(x, distance=distance, max_plateau=max_plateau)
+    if rel_height > 0.0:
+        mask = mask & (x >= rel_height * jnp.max(x))
+    fdtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    vals = jnp.where(mask, x.astype(fdtype), -jnp.inf)
+    height, idx = jax.lax.top_k(vals, k)
+    valid = jnp.isfinite(height)
+    return jnp.where(valid, idx, 0), height, valid

@@ -5,7 +5,13 @@ from .stats import analyze_doa_samples, mae, window_median
 from .cache import DesignCache, design_cache_key
 from .isotonic import approx_decreasing, isotonic_increasing
 from .profiling import StageTimer, benchmark_fn, device_trace
-from .tracking import DoaTracker, track_angles, track_step
+from .tracking import (
+    DoaTracker,
+    MultiDoaTracker,
+    track_angles,
+    track_multi_angles,
+    track_step,
+)
 
 
 def to_numpy(x):
@@ -37,6 +43,8 @@ __all__ = [
     "benchmark_fn",
     "device_trace",
     "DoaTracker",
+    "MultiDoaTracker",
     "track_angles",
+    "track_multi_angles",
     "track_step",
 ]

@@ -107,3 +107,118 @@ def test_stationary_variance_reduction(alpha):
     # steady-state variance of a critically-damped alpha-beta filter is
     # below the measurement variance for alpha < ~0.8
     assert np.var(out[50:]) < 0.8 * np.var(z[50:])
+
+
+# ---------------------------------------------------------------------------
+# Multi-target GNN tracker
+# ---------------------------------------------------------------------------
+from haghighatshoarmuir2024_tpu.utils.tracking import (  # noqa: E402
+    MultiDoaTracker,
+    track_multi_angles,
+)
+
+
+def _two_crossing_targets(T=40, rate=0.07, noise=0.02, seed=0):
+    """Two constant-rate targets that cross mid-sequence; per-frame
+    measurements in shuffled order."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(T, dtype=np.float32)
+    th1 = -1.4 + rate * t
+    th2 = 1.4 - rate * t
+    z = np.stack([th1, th2], axis=1) + noise * rng.standard_normal((T, 2))
+    # shuffle measurement order per frame: association is the tracker's job
+    flip = rng.random(T) < 0.5
+    z[flip] = z[flip][:, ::-1]
+    return (
+        th1.astype(np.float32),
+        th2.astype(np.float32),
+        z.astype(np.float32),
+        np.ones((T, 2), bool),
+    )
+
+
+def _match_tracks(thetas, confirmed, truths, frame):
+    """Map each truth to the confirmed slot nearest it at ``frame``."""
+    slots = np.nonzero(confirmed[frame])[0]
+    out = []
+    for tr in truths:
+        d = np.abs(np.arcsin(np.abs(np.sin(thetas[frame, slots] - tr[frame]))))
+        out.append(int(slots[np.argmin(d)]))
+    return out
+
+
+def test_multi_tracks_two_crossing_targets_without_identity_swap():
+    th1, th2, z, valid = _two_crossing_targets()
+    thetas, confirmed = track_multi_angles(z, valid, num_tracks=4)
+    thetas, confirmed = np.asarray(thetas), np.asarray(confirmed)
+    # both targets confirmed by frame 3 and still confirmed at the end
+    assert confirmed[3].sum() == 2 and confirmed[-1].sum() == 2
+    s1, s2 = _match_tracks(thetas, confirmed, [th1, th2], frame=3)
+    assert s1 != s2
+    # identity holds THROUGH the crossing: each slot stays on its own
+    # trajectory (a swap would leave ~2.8 rad errors after the cross)
+    for slot, tr in ((s1, th1), (s2, th2)):
+        err = _fold_err(thetas[3:, slot], tr[3:])
+        assert err.max() < np.deg2rad(10.0), (slot, np.rad2deg(err.max()))
+
+
+def test_multi_track_birth_death_and_slot_reuse():
+    T = 48
+    rng = np.random.default_rng(5)
+    thA = np.full(T, -0.9, np.float32)
+    thB = np.full(T, 1.2, np.float32)
+    z = np.zeros((T, 2), np.float32)
+    valid = np.zeros((T, 2), bool)
+    z[:, 0] = thA + 0.01 * rng.standard_normal(T)
+    valid[:, 0] = True
+    live = slice(12, 30)
+    z[live, 1] = thB[live] + 0.01 * rng.standard_normal(18)
+    valid[live, 1] = True
+    thetas, confirmed = track_multi_angles(z, valid, num_tracks=3, max_misses=2)
+    thetas, confirmed = np.asarray(thetas), np.asarray(confirmed)
+    assert confirmed[8].sum() == 1  # only A before B is born
+    assert confirmed[20].sum() == 2  # B confirmed while live
+    assert confirmed[40].sum() == 1  # B killed after max_misses coasts
+    # the survivor is still on A
+    slot = int(np.nonzero(confirmed[40])[0][0])
+    assert _fold_err(thetas[40:, slot], thA[40:]).max() < np.deg2rad(4.0)
+
+
+def test_multi_track_spurious_measurement_never_confirms():
+    T = 30
+    rng = np.random.default_rng(7)
+    th = np.full(T, 0.4, np.float32)
+    z = np.zeros((T, 2), np.float32)
+    valid = np.zeros((T, 2), bool)
+    z[:, 0] = th + 0.01 * rng.standard_normal(T)
+    valid[:, 0] = True
+    z[14, 1] = -2.0  # one-frame ghost peak
+    valid[14, 1] = True
+    thetas, confirmed = track_multi_angles(z, valid, num_tracks=3, confirm_hits=2)
+    confirmed = np.asarray(confirmed)
+    # the ghost spawns a tentative track that dies unconfirmed
+    assert confirmed.sum(axis=1).max() == 1
+
+
+def test_multi_track_scan_and_streaming_parity():
+    rng = np.random.default_rng(11)
+    T, K, M = 60, 3, 4
+    z = rng.uniform(-np.pi, np.pi, (T, K)).astype(np.float32)
+    # two coherent targets hidden in the clutter + random validity
+    t = np.arange(T, dtype=np.float32)
+    z[:, 0] = np.arctan2(np.sin(0.5 + 0.05 * t), np.cos(0.5 + 0.05 * t))
+    z[:, 1] = -2.0 + 0.01 * rng.standard_normal(T)
+    valid = rng.random((T, K)) < 0.8
+    thetas, confirmed = track_multi_angles(
+        z, valid, num_tracks=M, alpha=0.4, gate_deg=20.0, max_misses=2
+    )
+    trk = MultiDoaTracker(M, alpha=0.4, gate_deg=20.0, max_misses=2)
+    host_t, host_c = [], []
+    for i in range(T):
+        th, cf = trk.update(z[i], valid[i])
+        host_t.append(th)
+        host_c.append(cf)
+    np.testing.assert_allclose(
+        np.sin(np.asarray(thetas) - np.asarray(host_t)), 0.0, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(confirmed), np.asarray(host_c))
