@@ -12,8 +12,10 @@ Usage::
         --model xylo --band 1600 1900 --frame 0.25
 
 Models: ``xylo`` (quantized SNN pipeline, matched estimator after a cached
-calibration), ``hilbert`` (non-SNN beamformer), ``srp`` (classical SRP-PHAT
-baseline).
+calibration), ``hilbert`` (non-SNN beamformer), ``music`` (Bartlett scan;
+noise-subspace pseudospectrum under ``--sources K``), ``srp`` (classical
+SRP-PHAT baseline).  ``--sources K`` tracks up to K simultaneous sources via
+per-frame top-K profile peaks + the gated GNN tracker.
 """
 from __future__ import annotations
 
@@ -25,7 +27,11 @@ import numpy as np
 
 
 def _build_estimator(model, geometry, bands, doa_list, frame, fs,
-                     calibrate=True, stacked=False, auto=False):
+                     calibrate=True, stacked=False, auto=False,
+                     num_sources=1):
+    """Per-frame estimator ``est(x) -> (doa, profile)``: the scalar estimate
+    plus the angular profile it came from (rate / power / pseudospectrum) —
+    the profile feeds the multi-source peak picker when ``--sources > 1``."""
     import jax.numpy as jnp
 
     band = bands[0]
@@ -47,8 +53,13 @@ def _build_estimator(model, geometry, bands, doa_list, frame, fs,
             else:
                 demo.calibrate_profiles()
                 method = "matched"
-        return lambda x: float(demo.forward_batch(
-            jnp.asarray(x, jnp.float32)[None], method=method)[0][0])
+
+        def est(x):
+            doa, rate = demo.forward_batch(
+                jnp.asarray(x, jnp.float32)[None], method=method)
+            return float(doa[0]), np.asarray(rate[0], np.float64)
+
+        return est
     if model == "hilbert":
         from ..models.beamformer import Beamformer
 
@@ -64,7 +75,24 @@ def _build_estimator(model, geometry, bands, doa_list, frame, fs,
         def est(x):
             out = bf.apply_to_signal(bf_mat, jnp.asarray(x, jnp.float32))
             power = jnp.mean(jnp.abs(out) ** 2, axis=0)
-            return float(grid[int(jnp.argmax(power))])
+            return float(grid[int(jnp.argmax(power))]), np.asarray(power)
+
+        return est
+    if model == "music":
+        from ..models.music import MUSIC
+
+        music = MUSIC(geometry, freq_range=list(band), doa_list=doa_list,
+                      frame_duration=frame, fs=fs)
+        # Bartlett scan (reference parity) for one source; true
+        # noise-subspace pseudospectrum when hunting several (sharper
+        # multi-peak resolution, models/music.py num_sources)
+        ns = num_sources if num_sources > 1 else 0
+
+        def est(x):
+            p = music.beamforming(
+                jnp.asarray(x, jnp.float32), 2, 2048, num_sources=ns)
+            p = np.asarray(p)
+            return float(doa_list[int(np.argmax(p))]), p
 
         return est
     if model == "srp":
@@ -72,7 +100,12 @@ def _build_estimator(model, geometry, bands, doa_list, frame, fs,
 
         srp = SRPPHAT(geometry, freq_range=list(band), doa_list=doa_list,
                       fs=fs, frame_duration=frame)
-        return lambda x: float(srp.estimate(x))
+
+        def est(x):
+            p = np.asarray(srp.apply_to_signal(x))
+            return float(doa_list[int(np.argmax(p))]), p
+
+        return est
     raise ValueError(f"unknown model {model!r}")
 
 
@@ -84,7 +117,7 @@ def main(argv=None):
     p.add_argument("audio", help="wav/flac path (multi-channel, or mono "
                                  "with --simulate-doa)")
     p.add_argument("--model", default="xylo",
-                   choices=["xylo", "hilbert", "srp"])
+                   choices=["xylo", "hilbert", "music", "srp"])
     p.add_argument("--band", nargs=2, type=float, action="append",
                    default=None, metavar=("F_LO", "F_HI"),
                    help="frequency band (Hz); repeat for a multi-band "
@@ -113,6 +146,13 @@ def main(argv=None):
                    help="wrapped-angle alpha-beta tracking on the per-frame "
                         "estimates (utils/tracking.py): adds doa_tracked_* "
                         "fields; outlier frames coast on the track")
+    p.add_argument("--sources", type=int, default=1, metavar="K",
+                   help="track up to K simultaneous sources: per-frame top-K "
+                        "peaks of the angular profile feed a gated GNN "
+                        "multi-target tracker (utils/tracking.py); adds a "
+                        "'sources' field with the confirmed tracks. "
+                        "--model music uses the noise-subspace pseudospectrum "
+                        "for K > 1 (sharpest multi-peak resolution)")
     p.add_argument("--max-frames", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -131,9 +171,13 @@ def main(argv=None):
         print("--stacked/--auto need >= 2 --band and calibration",
               file=sys.stderr)
         return 2
+    if args.sources < 1:
+        print("--sources must be >= 1", file=sys.stderr)
+        return 2
     est = _build_estimator(
         args.model, geometry, bands, doa_list, args.frame, args.fs,
         calibrate=not args.no_calibrate, stacked=args.stacked, auto=args.auto,
+        num_sources=args.sources,
     )
 
     rng = np.random.default_rng(0)
@@ -142,6 +186,12 @@ def main(argv=None):
         from ..utils.tracking import DoaTracker
 
         tracker = DoaTracker()
+    multi = None
+    if args.sources > 1:
+        from ..ops.peaks import top_k_peaks
+        from ..utils.tracking import MultiDoaTracker
+
+        multi = MultiDoaTracker(num_tracks=args.sources + 2, max_misses=4)
     results = []
     for i, chunk in enumerate(src.frames(args.frame)):
         if args.max_frames is not None and i >= args.max_frames:
@@ -153,8 +203,12 @@ def main(argv=None):
             from ..ops.interp import signal_from_template
 
             t = np.arange(chunk.shape[0]) / args.fs
+            # MUSIC's steering matches the reference's t - delay synthesis
+            # convention (see ops/interp.signal_from_template)
+            sign = -1 if args.model == "music" else 1
             x = np.asarray(signal_from_template(
-                geometry, t, chunk[:, 0], args.simulate_doa, fs=args.fs))
+                geometry, t, chunk[:, 0], args.simulate_doa, fs=args.fs,
+                delay_sign=sign))
             if args.snr_db is not None:
                 sigma = np.sqrt((x**2).mean() / 10 ** (args.snr_db / 10))
                 x = x + sigma * rng.standard_normal(x.shape)
@@ -167,7 +221,7 @@ def main(argv=None):
                 )
                 return 2
             x = chunk[:, : args.num_mic]
-        doa = est(x.astype(np.float32))
+        doa, prof = est(x.astype(np.float32))
         rec = {"frame": i, "t_sec": round(i * args.frame, 3),
                "doa_rad": round(doa, 4),
                "doa_deg": round(float(np.rad2deg(doa)), 2)}
@@ -175,6 +229,20 @@ def main(argv=None):
             trk = tracker.update(doa)
             rec["doa_tracked_rad"] = round(trk, 4)
             rec["doa_tracked_deg"] = round(float(np.rad2deg(trk)), 2)
+        if multi is not None:
+            import jax.numpy as jnp
+
+            idx, _, ok = top_k_peaks(
+                jnp.asarray(prof), args.sources,
+                distance=max(args.grid // 32, 2), rel_height=0.2)
+            thetas, confirmed = multi.update(
+                doa_list[np.asarray(idx)], np.asarray(ok))
+            rec["sources"] = [
+                {"track": int(m),
+                 "doa_rad": round(float(thetas[m]), 4),
+                 "doa_deg": round(float(np.rad2deg(thetas[m])), 2)}
+                for m in np.nonzero(confirmed)[0]
+            ]
         results.append(rec)
         print(json.dumps(rec), flush=True)
 

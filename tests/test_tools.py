@@ -97,3 +97,47 @@ def test_localize_tracked_fields(tone_wav, capsys):
     assert all("doa_tracked_rad" in r and "doa_tracked_deg" in r for r in frames)
     err = np.rad2deg(np.arcsin(abs(np.sin(frames[-1]["doa_tracked_rad"] - 0.7))))
     assert err < 5.0, frames
+
+
+def test_localize_music_simulated_unfolded(tone_wav, capsys):
+    """--model music: the CLI synthesizes --simulate-doa with the MUSIC
+    convention (t - delay), so the estimate lands on the CORRECT side of the
+    circle — checked unfolded (the folded metric would hide a 180-deg
+    mirror)."""
+    rc, recs = _run(
+        [tone_wav, "--model", "music", "--band", "1400", "2100",
+         "--simulate-doa", "0.7", "--snr-db", "10", "--frame", "0.125",
+         "--grid", "129", "--max-frames", "2"],
+        capsys,
+    )
+    assert rc == 0
+    frames = [r for r in recs if "frame" in r]
+    est = frames[-1]["doa_rad"]
+    err = abs(np.arctan2(np.sin(est - 0.7), np.cos(est - 0.7)))
+    assert np.rad2deg(err) < 6.0, frames
+
+
+def test_localize_multi_source_tracks(tone_wav, capsys):
+    """--sources 2: per-frame top-K peaks feed the GNN tracker; a single
+    simulated source yields exactly one confirmed track once bootstrapped."""
+    rc, recs = _run(
+        [tone_wav, "--model", "music", "--band", "1400", "2100",
+         "--simulate-doa", "0.7", "--snr-db", "10", "--frame", "0.125",
+         "--grid", "129", "--max-frames", "4", "--sources", "2"],
+        capsys,
+    )
+    assert rc == 0
+    frames = [r for r in recs if "frame" in r]
+    assert all("sources" in r for r in frames)
+    last = frames[-1]["sources"]
+    assert len(last) == 1
+    err = abs(np.arctan2(np.sin(last[0]["doa_rad"] - 0.7),
+                         np.cos(last[0]["doa_rad"] - 0.7)))
+    assert np.rad2deg(err) < 6.0, frames
+
+
+def test_localize_sources_validation(tone_wav, capsys):
+    rc = main([tone_wav, "--model", "music", "--band", "1400", "2100",
+               "--simulate-doa", "0.7", "--sources", "0"])
+    capsys.readouterr()
+    assert rc == 2
