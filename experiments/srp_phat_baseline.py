@@ -55,7 +55,11 @@ def run(target: str = "tone", num_sims: int = 100, num_grid: int = 32 * 7,
     def estimate(sig_in):
         return grid_j[jnp.argmax(srp._power_impl(sig_in, steer_re, steer_im))]
 
-    trial = make_trial_fn(geometry, t, sig, estimate, FS)
+    # minus-convention synthesis: SRP-PHAT's steering is physical
+    # (exp(+j2pi f (d_i - d_j)) against X_i X_j^*), so like MUSIC it expects
+    # t - delay propagation; plus-convention audio mirrors the raw estimates
+    # by 180 deg (hidden by the folded metric, measured)
+    trial = make_trial_fn(geometry, t, sig, estimate, FS, delay_sign=-1)
     return monte_carlo_sweep(
         trial, snr_sweep_config(), num_sims, jax.random.PRNGKey(seed)
     )

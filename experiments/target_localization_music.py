@@ -35,7 +35,13 @@ def run(target: str = "tone", num_sims: int = 100, num_grid: int = 32 * 7, seed:
         aps = music.beamforming(sig_in, NUM_ACTIVE_FREQ, NUM_FFT_BIN)
         return grid_j[jnp.argmax(aps)]
 
-    trial = make_trial_fn(geometry, t, sig, estimate, FS)
+    # minus-convention synthesis: the reference's MUSIC MC synthesizes via
+    # MUSIC's own apply_to_template (t - delay,
+    # paper_plots/target_localization_MUSIC.py:171 ->
+    # micloc/music_beamformer.py:307-312); the folded error metric would hide
+    # the 180-deg mirror a plus-convention signal produces, but the raw
+    # estimates would be antipodal
+    trial = make_trial_fn(geometry, t, sig, estimate, FS, delay_sign=-1)
     return monte_carlo_sweep(trial, snr_sweep_config(), num_sims, jax.random.PRNGKey(seed))
 
 

@@ -75,7 +75,12 @@ def run_demo(num_frames: int = 8, snr_db: float = 10.0, doa: float = 0.7):
     dur = 0.25 * (num_frames + 1)
     t = np.arange(0, dur, 1 / FS)
     sig = np.sin(2 * np.pi * 1750.0 * t)
-    src = SyntheticAudioSource(geometry, t, sig, doa, snr_db=snr_db, fs=FS)
+    # MUSIC's steering matches the reference's t - delay synthesis convention
+    # (ops/interp.signal_from_template); plus-convention audio would mirror
+    # the demo's estimates by 180 deg
+    src = SyntheticAudioSource(
+        geometry, t, sig, doa, snr_db=snr_db, fs=FS, delay_sign=-1
+    )
     demo = Demo(geometry, [1200.0, 2000.0], doa_list, source=src)
     return demo.run(num_frames=num_frames)
 

@@ -50,13 +50,19 @@ class SyntheticAudioSource(AudioSource):
         snr_db: Optional[float] = None,
         fs: float = 48_000.0,
         seed: int = 0,
+        delay_sign: int = 1,
     ):
+        # delay_sign=-1: the reference's MUSIC synthesis convention
+        # (t - delay) — required when feeding MUSIC (see
+        # ops/interp.signal_from_template)
         from ..ops.interp import signal_from_template
 
         self.fs = fs
         self.num_channels = len(geometry)
         sig_in = np.asarray(
-            signal_from_template(geometry, time_temp, sig_temp, doa, fs=fs)
+            signal_from_template(
+                geometry, time_temp, sig_temp, doa, fs=fs, delay_sign=delay_sign
+            )
         )
         if snr_db is not None:
             rng = np.random.default_rng(seed)

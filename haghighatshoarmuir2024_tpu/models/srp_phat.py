@@ -19,6 +19,12 @@ i.e. a (pairs*bins) x grid matmul on the MXU, batched over frames.  The
 whitened cross-spectra R_p(f) = X_i X_j^* / |X_i X_j^*| use only in-band
 bins (PHAT over the band of interest).  Complex math stays inside jit
 (axon supports complex64 in compiled programs only — CLAUDE.md).
+
+Synthesis convention: the steering is PHYSICAL — like MUSIC's, it matches
+audio propagated as ``s(t - delay)`` (``signal_from_template(...,
+delay_sign=-1)`` or ``received_signal``); the xylo/Hilbert harnesses' plus
+convention mirrors every SRP estimate by 180 deg (measured — the folded
+error metric hides it).  See ops/interp.signal_from_template.
 """
 from __future__ import annotations
 

@@ -42,11 +42,16 @@ def make_trial_fn(
     sig_temp: np.ndarray,
     estimate_fn: Callable,
     fs: float,
+    delay_sign: int = 1,
 ):
     """Build the single-trial function ``(key, snr_db) -> (doa_true, doa_est)``.
 
     ``estimate_fn`` maps a noisy (T, M) array signal to a scalar DoA estimate
     (e.g. ``lambda s: demo.forward(s)[0]`` or a Hilbert-beamformer closure).
+
+    ``delay_sign=-1`` synthesizes with the reference's MUSIC convention
+    (t - delay; see ops/interp.signal_from_template) — required for MUSIC
+    estimators, whose steering mirrors plus-convention audio by 180°.
     """
     time_j = jnp.asarray(time_temp, dtype=jnp.float32)
     sig_j = jnp.asarray(sig_temp, dtype=jnp.float32)
@@ -54,7 +59,9 @@ def make_trial_fn(
     def trial(key, snr_db):
         k_doa, k_noise = jax.random.split(key)
         doa_true = jax.random.uniform(k_doa, (), minval=0.0, maxval=2 * jnp.pi)
-        sig_in = signal_from_template(geometry, time_j, sig_j, doa_true, fs=fs)
+        sig_in = signal_from_template(
+            geometry, time_j, sig_j, doa_true, fs=fs, delay_sign=delay_sign
+        )
         snr = 10.0 ** (snr_db / 10.0)
         sigma = jnp.sqrt(jnp.mean(sig_in**2) / snr)
         noisy = sig_in + sigma * jax.random.normal(k_noise, sig_in.shape, sig_in.dtype)

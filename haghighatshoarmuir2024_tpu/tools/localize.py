@@ -203,9 +203,9 @@ def main(argv=None):
             from ..ops.interp import signal_from_template
 
             t = np.arange(chunk.shape[0]) / args.fs
-            # MUSIC's steering matches the reference's t - delay synthesis
-            # convention (see ops/interp.signal_from_template)
-            sign = -1 if args.model == "music" else 1
+            # MUSIC's and SRP's physics steering matches the t - delay
+            # synthesis convention (see ops/interp.signal_from_template)
+            sign = -1 if args.model in ("music", "srp") else 1
             x = np.asarray(signal_from_template(
                 geometry, t, chunk[:, 0], args.simulate_doa, fs=args.fs,
                 delay_sign=sign))
