@@ -456,3 +456,73 @@ def test_iir_blocked_cumsum_carried_seam_device():
     scale = np.maximum(np.abs(full).max(axis=0, keepdims=True), 1e-12)
     err = np.abs(got - full) / scale
     assert err.max() <= 1e-5, f"seam max rel err {err.max():.3e}"
+
+
+def test_multi_target_music_tracking_device_matches_host():
+    """The round-4 multi-source chain on the REAL chip: noise-subspace MUSIC
+    pseudospectrum -> top_k_peaks -> gated GNN tracker.  The device
+    measurements must produce the same confirmed tracks as the host
+    MultiDoaTracker fed the same peaks, and both targets must be tracked
+    through a bearing crossing without identity swap (cf.
+    experiments/multi_target_tracking.py; reference has no multi-target
+    association at all — paper_plots/multiple_targets_music.py:87-246 is a
+    static two-peak check)."""
+    from haghighatshoarmuir2024_tpu import CenterCircularArray
+    from haghighatshoarmuir2024_tpu.models.music import MUSIC
+    from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
+    from haghighatshoarmuir2024_tpu.ops.peaks import top_k_peaks
+    from haghighatshoarmuir2024_tpu.utils.tracking import (
+        MultiDoaTracker,
+        track_multi_angles,
+    )
+
+    fs = 48_000
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    grid = np.linspace(-np.pi, np.pi, 225)
+    music = MUSIC(geometry, (1000.0, 2000.0), grid, frame_duration=0.25, fs=fs)
+
+    dur, frame = 3.0, 0.25
+    t = np.arange(0, dur, 1 / fs)
+    tr1 = np.deg2rad(-70 + 100 * t / t[-1]).astype(np.float32)
+    tr2 = np.deg2rad(70 - 100 * t / t[-1]).astype(np.float32)
+    x = np.asarray(signal_from_template(
+        geometry, t, np.sin(2 * np.pi * 1500 * t), tr1, fs=fs, delay_sign=-1))
+    x = x + np.asarray(signal_from_template(
+        geometry, t, np.sin(2 * np.pi * 1600 * t), tr2, fs=fs, delay_sign=-1))
+    rng = np.random.default_rng(0)
+    x = (x + np.sqrt(np.mean(x**2) / 10) * rng.standard_normal(x.shape)).astype(
+        np.float32
+    )
+
+    n, Tf = int(dur / frame), int(frame * fs)
+    z = np.zeros((n, 2), np.float32)
+    valid = np.zeros((n, 2), bool)
+    for k in range(n):
+        p = music.beamforming(
+            jnp.asarray(x[k * Tf : (k + 1) * Tf]), 2, 2048, num_sources=2
+        )
+        idx, _, ok = top_k_peaks(p, 2, distance=len(grid) // 32, rel_height=0.2)
+        z[k] = grid[np.asarray(idx)]
+        valid[k] = np.asarray(ok)
+
+    thetas, confirmed = track_multi_angles(z, valid, num_tracks=4, max_misses=4)
+    thetas, confirmed = np.asarray(thetas), np.asarray(confirmed)
+
+    # host streaming twin agrees with the scan path on the device peaks
+    trk = MultiDoaTracker(4, max_misses=4)
+    for i in range(n):
+        th_h, cf_h = trk.update(z[i], valid[i])
+        np.testing.assert_array_equal(confirmed[i], cf_h)
+        np.testing.assert_allclose(np.sin(thetas[i] - th_h), 0.0, atol=1e-5)
+
+    # both targets tracked through the crossing, identity held
+    assert confirmed[-1].sum() == 2
+    fc = (np.arange(n) + 0.5) * frame
+    tru1, tru2 = np.interp(fc, t, tr1), np.interp(fc, t, tr2)
+    fold = lambda e, tr: np.rad2deg(np.arcsin(np.abs(np.sin(e - tr))))  # noqa: E731
+    slots = np.nonzero(confirmed[2])[0]
+    s1 = int(slots[np.argmin(fold(thetas[2, slots], tru1[2]))])
+    s2 = int(slots[np.argmin(fold(thetas[2, slots], tru2[2]))])
+    assert s1 != s2
+    assert fold(thetas[2:, s1], tru1[2:]).max() < 15.0
+    assert fold(thetas[2:, s2], tru2[2:]).max() < 15.0
