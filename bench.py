@@ -112,11 +112,13 @@ def main():
     # (B, 512) VPU tiles against the RZCC row-tile padding
     batch_size = 96
     doas = np.linspace(-np.pi, np.pi, batch_size, endpoint=False)
-    frames = []
-    for i, doa in enumerate(doas):
-        s = np.asarray(signal_from_template(geometry, t, sig, float(doa), fs=fs))
-        frames.append(s)
-    frames = np.stack(frames).astype(np.float32)
+    # ONE vmapped synthesis call: the per-DoA eager loop cost ~96 tunnel
+    # round-trips (~20 s hiding inside the "compile" phase, round 5)
+    frames = np.asarray(
+        jax.jit(
+            jax.vmap(lambda d: signal_from_template(geometry, t, sig, d, fs=fs))
+        )(jnp.asarray(doas))
+    ).astype(np.float32)
     # numpy RNG: a jax.random.normal here compiled an extra program AND
     # downloaded 32 MB device->host inside the "compile" phase (pure
     # measurement noise through the axon tunnel's slow mode)
