@@ -40,7 +40,8 @@ from haghighatshoarmuir2024_tpu.parallel import (
 from haghighatshoarmuir2024_tpu.utils.peak_location import find_peak_location
 
 
-def run(bipolar: bool = True, num_sims: int = 100, num_grid: int = 16 * 7, seed: int = 0):
+def run(bipolar: bool = True, num_sims: int = 100, num_grid: int = 16 * 7, seed: int = 0,
+        envelope: bool = True):
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
     freq_design = 2_000.0
     freq_range = [0.5 * freq_design, freq_design]
@@ -92,7 +93,88 @@ def run(bipolar: bool = True, num_sims: int = 100, num_grid: int = 16 * 7, seed:
     out["matched_estimator"] = monte_carlo_sweep(
         trial_m, snr_sweep_config(), num_sims, jax.random.PRNGKey(seed)
     )
+    if envelope:
+        # the reference-parity (peak) rows carry the XyloSim step-convention
+        # ambiguity; print its min–max band beside them (VERDICT r4 #6)
+        out["reference_estimator_convention_envelope"] = convention_envelope(
+            demo, t, sig, snr_sweep_config(), num_sims=min(num_sims, 25), seed=seed
+        )
     return out
+
+
+def convention_envelope(
+    demo, t, sig, snr_db_vec, num_sims: int = 25, seed: int = 0, batch: int = 25
+):
+    """Min–max MAE envelope of the reference-parity peak estimator over the
+    four XyloSim step conventions (VERDICT r4 directive 6).
+
+    rockpool is uninstallable here, so the exact ordering of
+    micloc/xylo_snn_localization.py:286-313's delegated ``XyloSim`` step is
+    unverifiable; the quantized pipeline's raw-peak numbers therefore carry a
+    convention ambiguity (bounded in experiments/xylo_ordering_sensitivity.py
+    at ≤5.7° tone MAE).  This prints that band NEXT TO the headline MC rows
+    instead of leaving it in a footnote: every variant sees identical spike
+    rasters (one shared encode), so the spread is purely the step convention.
+    """
+    import itertools
+
+    from haghighatshoarmuir2024_tpu.models.xylo.sim import sim_hidden_batch
+
+    variants = list(
+        itertools.product(("decay_first", "integrate_first"), ("subtract", "zero"))
+    )
+    geometry = demo.geometry
+    G = len(demo.doa_list)
+    cfg = demo.xylo_config
+    encode = jax.jit(jax.vmap(demo.spike_encoding))
+    grid = np.asarray(demo.doa_list)
+
+    rng = np.random.default_rng(seed)
+    doa_true = rng.uniform(-np.pi, np.pi, size=num_sims)
+    frames_clean = np.stack(
+        [
+            np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS))
+            for d in doa_true
+        ]
+    ).astype(np.float32)
+    sig_pow = np.mean(frames_clean**2, axis=(1, 2), keepdims=True)
+
+    env = {"snr_db": [float(s) for s in snr_db_vec], "num_sims": num_sims}
+    per_variant = {f"{o}/{r}": [] for o, r in variants}
+    for snr_db in snr_db_vec:
+        sigma = np.sqrt(sig_pow / 10 ** (snr_db / 10))
+        noisy = frames_clean + sigma * rng.standard_normal(frames_clean.shape).astype(
+            np.float32
+        )
+        maes = []
+        for s0 in range(0, num_sims, batch):
+            chunk = jnp.asarray(noisy[s0 : s0 + batch])
+            spikes_in = np.asarray(encode(chunk), np.int8)
+            chunk_maes = []
+            for ordering, reset in variants:
+                spk = np.asarray(
+                    sim_hidden_batch(cfg, spikes_in, ordering=ordering, reset=reset)
+                )
+                rate = spk.mean(axis=1).reshape(spk.shape[0], -1, G).mean(axis=1)
+                est = grid[np.argmax(rate, axis=-1)]
+                err = np.abs(
+                    np.arcsin(np.abs(np.sin(est - doa_true[s0 : s0 + batch])))
+                )
+                chunk_maes.append(np.degrees(err))
+            maes.append(np.stack(chunk_maes))  # (V, chunk)
+        per_snr = np.concatenate(maes, axis=1).mean(axis=1)  # (V,)
+        for v, (o, r) in enumerate(variants):
+            per_variant[f"{o}/{r}"].append(float(per_snr[v]))
+    env["mae_deg_by_variant"] = per_variant
+    env["mae_deg_min"] = [
+        float(min(per_variant[k][i] for k in per_variant))
+        for i in range(len(snr_db_vec))
+    ]
+    env["mae_deg_max"] = [
+        float(max(per_variant[k][i] for k in per_variant))
+        for i in range(len(snr_db_vec))
+    ]
+    return env
 
 
 # --------------------------------------------------------------------- speech
@@ -318,16 +400,19 @@ def main():
     if "--quick" in sys.argv:
         sims = 10
     res = run(bipolar=bipolar, num_sims=sims)
+    env = res.pop("reference_estimator_convention_envelope", None)
     sm = {k: summarize(v) for k, v in res.items()}
+    if env is not None:
+        sm["reference_estimator_convention_envelope"] = env
     fig_mae_vs_snr(
-        {k: (v["snr_db"], v["mae_deg"]) for k, v in sm.items()},
+        {k: (v["snr_db"], v["mae_deg"]) for k, v in sm.items() if "mae_deg" in v},
         f"target_xylo_{'bipolar' if bipolar else 'unipolar'}_mae.pdf",
     )
     print(
         json.dumps(
             {
                 "experiment": f"target_xylo_{'bipolar' if bipolar else 'unipolar'}_localization",
-                "results": {k: summarize(v) for k, v in res.items()},
+                "results": sm,
             },
             indent=2,
         )

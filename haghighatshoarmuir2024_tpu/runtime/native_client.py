@@ -57,6 +57,10 @@ def _load():
         lib.sc_send_frame.restype = ctypes.c_int
         lib.sc_recv_doa.argtypes = [ctypes.c_int, u32p, f32p, ctypes.c_int]
         lib.sc_recv_doa.restype = ctypes.c_int
+        lib.sc_recv_doas.argtypes = [
+            ctypes.c_int, u32p, f32p, ctypes.c_uint32, ctypes.c_int,
+        ]
+        lib.sc_recv_doas.restype = ctypes.c_int
         lib.sc_close.argtypes = [ctypes.c_int]
         lib.sc_shm_create.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
         lib.sc_shm_create.restype = ctypes.c_void_p
@@ -66,6 +70,10 @@ def _load():
         lib.sc_shm_send.restype = ctypes.c_int
         lib.sc_shm_recv_doa.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int]
         lib.sc_shm_recv_doa.restype = ctypes.c_int
+        lib.sc_shm_recv_doas.argtypes = [
+            ctypes.c_void_p, f32p, ctypes.c_uint32, ctypes.c_int,
+        ]
+        lib.sc_shm_recv_doas.restype = ctypes.c_int
         lib.sc_shm_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.sc_encoder_new.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int,
@@ -141,8 +149,10 @@ class NativeWireEncoder:
 class NativeStreamClient:
     """C twin of :class:`runtime.server.StreamClient` (TCP framing in C)."""
 
-    def __init__(self, port: int, stream_id: int, host: str = "127.0.0.1"):
+    def __init__(self, port: int, stream_id: int, host: str = "127.0.0.1",
+                 sources: int = 1):
         self._lib = _load()
+        self.K = int(sources)  # must match the server's sd_set_sources
         self.fd = self._lib.sc_connect(host.encode(), port, stream_id)
         if self.fd < 0:
             raise OSError("streamc: connect/hello failed")
@@ -159,14 +169,18 @@ class NativeStreamClient:
             raise OSError("streamc: send failed")
 
     def recv_doa(self, timeout: float = 30.0):
+        """(stream_id, doa) for K=1; (stream_id, (K,) NaN-padded array) for
+        multi-source servers (K-slot frames, native parse sc_recv_doas)."""
         sid = ctypes.c_uint32(0)
-        doa = ctypes.c_float(0.0)
-        rc = self._lib.sc_recv_doa(
-            self.fd, ctypes.byref(sid), ctypes.byref(doa), int(timeout * 1000)
+        doas = (ctypes.c_float * self.K)()
+        rc = self._lib.sc_recv_doas(
+            self.fd, ctypes.byref(sid), doas, self.K, int(timeout * 1000)
         )
         if rc != 0:
             raise ConnectionError("streamc: recv timed out or server closed")
-        return sid.value, doa.value
+        if self.K == 1:
+            return sid.value, doas[0]
+        return sid.value, np.asarray(doas[:], np.float32)
 
     def close(self):
         if self.fd >= 0:
@@ -193,13 +207,20 @@ class NativeShmClient:
         if rc != 0:
             raise TimeoutError("streamc: shm ring full, consumer not draining")
 
-    def recv_doa(self, timeout: float = 30.0):
-        doa = ctypes.c_float(0.0)
-        rc = self._lib.sc_shm_recv_doa(self._h, ctypes.byref(doa),
-                                       int(timeout * 1000))
+    def recv_doa(self, timeout: float = 30.0, sources: int = 1):
+        if sources == 1:
+            doa = ctypes.c_float(0.0)
+            rc = self._lib.sc_shm_recv_doa(self._h, ctypes.byref(doa),
+                                           int(timeout * 1000))
+            if rc != 0:
+                raise TimeoutError("streamc: no shm result")
+            return doa.value
+        doas = (ctypes.c_float * sources)()
+        rc = self._lib.sc_shm_recv_doas(self._h, doas, sources,
+                                        int(timeout * 1000))
         if rc != 0:
             raise TimeoutError("streamc: no shm result")
-        return doa.value
+        return np.asarray(doas[:], np.float32)
 
     def close(self, unlink: bool = True):
         if self._h:

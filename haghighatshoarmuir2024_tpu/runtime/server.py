@@ -76,6 +76,8 @@ def _load():
         lib.sd_post_results.restype = None
         lib.sd_set_window.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
         lib.sd_set_window.restype = None
+        lib.sd_set_sources.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.sd_set_sources.restype = None
         lib.sd_shm_attach.argtypes = [ctypes.c_void_p, ctypes.c_uint32, ctypes.c_char_p]
         lib.sd_shm_attach.restype = ctypes.c_int
         lib.sd_shm_detach.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
@@ -106,7 +108,9 @@ class LocalizationServer:
                  batch_window_ms: int = 10, wire_dtype: str = "f32",
                  wire_upsample: int = 1, mesh=None, mesh_axis: str = "data",
                  forget: float | None = None, track: bool = False,
-                 track_alpha: float = 0.35, track_gate_deg: float = 25.0):
+                 track_alpha: float = 0.35, track_gate_deg: float = 25.0,
+                 sources: int = 1, source_min_sep_deg: float = 20.0,
+                 source_rel_height: float = 0.2):
         self.sl = StreamingLocalizer(demo)
         self.demo = demo
         self.B = int(max_streams)
@@ -124,6 +128,21 @@ class LocalizationServer:
             )
         if wire_dtype not in ("f32", "i16", "u8", "u4"):
             raise ValueError("wire_dtype must be 'f32', 'i16', 'u8' or 'u4'")
+        # multi-source serving (VERDICT r4 #5): every result frame carries K
+        # DoA floats (u32 id + f32[K], NaN-padded) — the daemon config is the
+        # single source of truth for the frame size, mirrored by
+        # sd_set_sources on the native side and `sources=` on the clients.
+        if not (1 <= int(sources) <= 8):
+            raise ValueError("sources must be in [1, 8]")
+        self.K = int(sources)
+        # peak-picker knobs for K > 1: two reported sources must be at least
+        # source_min_sep_deg apart (otherwise the second result slot lands on
+        # a sidelobe of the first source's beam response — measured on the
+        # 65-point grid where the default scipy-style distance allowed
+        # 11.25-deg neighbors), and below source_rel_height * max the peak
+        # is treated as noise
+        self.source_min_sep_deg = float(source_min_sep_deg)
+        self.source_rel_height = float(source_rel_height)
         if wire_upsample not in (1, 4):
             raise ValueError("wire_upsample must be 1 or 4")
         # Compressed wire formats cut socket AND host->device bytes (the
@@ -161,6 +180,8 @@ class LocalizationServer:
         if not self._h:
             raise OSError("streamd: failed to bind server socket")
         self._lib.sd_set_window(self._h, batch_window_ms)
+        if self.K > 1:
+            self._lib.sd_set_sources(self._h, self.K)
         self.port = self._lib.sd_port(self._h)
         self._stop = threading.Event()
         self._thread = None
@@ -180,12 +201,26 @@ class LocalizationServer:
         # device program is unchanged; reset claims re-bootstrap the slot.
         self._trackers = None
         if track:
-            from ..utils.tracking import DoaTracker
+            if self.K > 1:
+                # per-slot gated GNN multi-target tracker (utils/tracking.py,
+                # the CLI's --sources path): K+2 track slots absorb spurious
+                # peaks; confirmed tracks fill the K result slots, NaN-padded
+                from ..utils.tracking import MultiDoaTracker
 
-            self._trackers = [
-                DoaTracker(alpha=track_alpha, gate_deg=track_gate_deg)
-                for _ in range(self.B)
-            ]
+                self._trackers = [
+                    MultiDoaTracker(
+                        num_tracks=self.K + 2, alpha=track_alpha,
+                        gate_deg=track_gate_deg, max_misses=4,
+                    )
+                    for _ in range(self.B)
+                ]
+            else:
+                from ..utils.tracking import DoaTracker
+
+                self._trackers = [
+                    DoaTracker(alpha=track_alpha, gate_deg=track_gate_deg)
+                    for _ in range(self.B)
+                ]
         # multi-chip serving: shard the stream axis of every device program
         # over `mesh` (pure data parallel — streams are independent, zero
         # collectives; see StreamingLocalizer.make_sharded_step).  The stream
@@ -379,22 +414,20 @@ class LocalizationServer:
 
         from ..models.xylo.pipeline import _auto_blend_scores, _blockcos
 
-        def _estimate(r, dl, prof_t):
-            """(B, H) UNFOLDED rate-like evidence -> (B,) DoA."""
+        def _scores(r, prof_t):
+            """(B, H) UNFOLDED rate-like evidence -> (B, G) DoA scores."""
             if matched and auto:
                 # SNR-adaptive blend (pipeline._auto_blend_scores): prof_t is
                 # the RAW (P, H) stacked table here (no host pre-normalize /
                 # transpose — the blend derives its own normalizations)
-                scores = _auto_blend_scores(r, prof_t, num_DoA)
-                return dl[jnp.argmax(scores, axis=-1)]
+                return _auto_blend_scores(r, prof_t, num_DoA)
             if matched and stacked:
                 # per-band cosine scoring (see pipeline._blockcos): the
                 # profile table arrives already block-normalized (below)
                 rc = _blockcos(r, num_DoA)
-                scores = jnp.matmul(
+                return jnp.matmul(
                     rc, prof_t, precision=jax.lax.Precision.HIGHEST
                 )
-                return dl[jnp.argmax(scores, axis=-1)]
             r = r.reshape(r.shape[:-1] + (-1, num_DoA)).mean(axis=-2)
             if matched:
                 rc = r - jnp.mean(r, axis=-1, keepdims=True)
@@ -403,11 +436,30 @@ class LocalizationServer:
                 # off the hot path, cost is negligible.  Argmax over the
                 # correlation is invariant to positive scaling of r, so the
                 # cumulative rate and the forgetting EMA share this path.
-                scores = jnp.matmul(
+                return jnp.matmul(
                     rc, prof_t, precision=jax.lax.Precision.HIGHEST
                 )
+            return r
+
+        K = self.K
+
+        def _estimate(r, dl, prof_t):
+            """(B, H) evidence -> (B,) DoA, or (B, K) NaN-padded top-K peaks
+            when serving multiple sources (same picker as the CLI's
+            --sources path, tools/localize.py)."""
+            scores = _scores(r, prof_t)
+            if K == 1:
                 return dl[jnp.argmax(scores, axis=-1)]
-            return dl[jnp.argmax(r, axis=-1)]
+            from ..ops.peaks import top_k_peaks
+
+            grid_step_deg = 360.0 / max(num_DoA - 1, 1)
+            dist = max(int(round(self.source_min_sep_deg / grid_step_deg)), 1)
+            idx, _, valid = jax.vmap(
+                lambda s: top_k_peaks(
+                    s, K, distance=dist, rel_height=self.source_rel_height
+                )
+            )(scores)
+            return jnp.where(valid, dl[idx], jnp.nan)
 
         def doas_impl(state, dl, prof_t):
             steps = jnp.maximum(state.steps, 1)
@@ -531,17 +583,33 @@ class LocalizationServer:
                 self._state, chunks_dev, active, reset_mask,
                 self._dl_dev, self._prof_dev,
             )
-        all_doas = np.asarray(doa_dev, np.float32)
+        all_doas = np.asarray(doa_dev, np.float32)  # (B,) or (B, K)
         t2 = _time.monotonic() if self._timing else 0.0
         out_ids = (ctypes.c_uint32 * n)(*ids.tolist())
-        if self._trackers is not None:
-            out_vals = [
-                self._trackers[int(i)].update(float(all_doas[int(i)]))
-                for i in ids
-            ]
+        if self.K == 1:
+            if self._trackers is not None:
+                out_vals = [
+                    self._trackers[int(i)].update(float(all_doas[int(i)]))
+                    for i in ids
+                ]
+            else:
+                out_vals = all_doas[ids].tolist()
+            out_doas = (ctypes.c_float * n)(*out_vals)
         else:
-            out_vals = all_doas[ids].tolist()
-        out_doas = (ctypes.c_float * n)(*out_vals)
+            # K-slot frames: confirmed tracks (or raw top-K peaks) per
+            # served stream, NaN-padded to exactly K floats
+            rows = np.full((n, self.K), np.nan, np.float32)
+            for j, i in enumerate(ids):
+                z = all_doas[int(i)]
+                if self._trackers is not None:
+                    thetas, confirmed = self._trackers[int(i)].update(
+                        z, valid=np.isfinite(z)
+                    )
+                    conf = thetas[confirmed][: self.K]
+                    rows[j, : conf.size] = conf
+                else:
+                    rows[j] = z
+            out_doas = (ctypes.c_float * (n * self.K))(*rows.ravel().tolist())
         self._lib.sd_post_results(self._h, n, out_ids, out_doas)
         if self._timing:
             t3 = _time.monotonic()
@@ -657,9 +725,16 @@ class WireEncoder:
 
 
 class StreamClient:
-    """Minimal client for :class:`LocalizationServer` (tests / demos)."""
+    """Minimal client for :class:`LocalizationServer` (tests / demos).
 
-    def __init__(self, port: int, stream_id: int, host: str = "127.0.0.1"):
+    ``sources`` must match the server's config: the result frame is a fixed
+    ``u32 id + f32[K]`` record (NaN-padded), so a mismatched K desyncs the
+    client's framing.
+    """
+
+    def __init__(self, port: int, stream_id: int, host: str = "127.0.0.1",
+                 sources: int = 1):
+        self.K = int(sources)
         self.sock = socket.create_connection((host, port))
         self.sock.sendall(struct.pack("<II", 0x484D3234, stream_id))
 
@@ -673,15 +748,21 @@ class StreamClient:
         self.sock.sendall(struct.pack("<I", data.size) + data.tobytes())
 
     def recv_doa(self, timeout: float = 30.0):
+        """Next result: (stream_id, doa) for K=1 servers, or
+        (stream_id, np.ndarray (K,)) with NaN padding for multi-source."""
         self.sock.settimeout(timeout)
+        want = 4 + 4 * self.K
         buf = b""
-        while len(buf) < 8:
-            part = self.sock.recv(8 - len(buf))
+        while len(buf) < want:
+            part = self.sock.recv(want - len(buf))
             if not part:
                 raise ConnectionError("server closed")
             buf += part
-        sid, doa = struct.unpack("<If", buf)
-        return sid, doa
+        sid = struct.unpack_from("<I", buf)[0]
+        doas = np.frombuffer(buf, np.float32, count=self.K, offset=4)
+        if self.K == 1:
+            return sid, float(doas[0])
+        return sid, doas.copy()
 
     def close(self):
         self.sock.close()
@@ -751,9 +832,11 @@ class ShmStreamClient:
             struct.pack_into("<Q", self.mm, 8, wp + take)
             off += take
 
-    def recv_doa(self, timeout: float = 30.0):
+    def recv_doa(self, timeout: float = 30.0, sources: int = 1):
         """Latest DoA result (seq-tagged slot; each result supersedes the
-        last).  Returns the radians value once a NEW result is posted."""
+        last).  Returns the radians value once a NEW result is posted; with
+        ``sources=K`` > 1, a (K,) NaN-padded array (slot 0 at offset 28,
+        slots 1..K-1 at 36+4(k-1) — see native/streamd.cpp)."""
         import time
 
         deadline = time.monotonic() + timeout
@@ -761,7 +844,13 @@ class ShmStreamClient:
             seq = struct.unpack_from("<I", self.mm, 24)[0]
             if seq != self._last_seq:
                 self._last_seq = seq
-                return struct.unpack_from("<f", self.mm, 28)[0]
+                if sources == 1:
+                    return struct.unpack_from("<f", self.mm, 28)[0]
+                out = np.empty(sources, np.float32)
+                out[0] = struct.unpack_from("<f", self.mm, 28)[0]
+                for k in range(1, sources):
+                    out[k] = struct.unpack_from("<f", self.mm, 36 + 4 * (k - 1))[0]
+                return out
             if time.monotonic() > deadline:
                 raise TimeoutError("no shm result")
             time.sleep(0.0002)

@@ -112,13 +112,22 @@ extern "C" int sc_send_frame(int fd, const void* data, uint32_t n_elems,
   return 0;
 }
 
-// Result frame: u32 stream_id, f32 doa (streamd.cpp sd_post_results).
-extern "C" int sc_recv_doa(int fd, uint32_t* sid, float* doa, int timeout_ms) {
-  uint8_t buf[8];
-  if (!read_exact(fd, buf, 8, timeout_ms)) return -1;
+// Result frame: u32 stream_id, f32 doa[k] (streamd.cpp sd_post_results; k
+// is the server's sd_set_sources config, NaN-padded — the client must pass
+// the matching k or its framing desyncs).
+extern "C" int sc_recv_doas(int fd, uint32_t* sid, float* doas, uint32_t k,
+                            int timeout_ms) {
+  if (k < 1 || k > 8) return -1;
+  uint8_t buf[4 + 4 * 8];
+  const size_t len = 4 + 4 * static_cast<size_t>(k);
+  if (!read_exact(fd, buf, len, timeout_ms)) return -1;
   std::memcpy(sid, buf, 4);
-  std::memcpy(doa, buf + 4, 4);
+  std::memcpy(doas, buf + 4, 4 * k);
   return 0;
+}
+
+extern "C" int sc_recv_doa(int fd, uint32_t* sid, float* doa, int timeout_ms) {
+  return sc_recv_doas(fd, sid, doa, 1, timeout_ms);
 }
 
 extern "C" void sc_close(int fd) { ::close(fd); }
@@ -192,21 +201,31 @@ extern "C" int sc_shm_send(void* h, const void* data, uint32_t n,
   return 0;
 }
 
-extern "C" int sc_shm_recv_doa(void* h, float* doa, int timeout_ms) {
+// Multi-source shm results: slot 0 at header offset 28, slots 1..k-1 at
+// 36 + 4*(i-1) (streamd.cpp ShmRing::post_result).
+extern "C" int sc_shm_recv_doas(void* h, float* doas, uint32_t k,
+                                int timeout_ms) {
   auto* s = static_cast<ScShm*>(h);
+  if (k < 1 || k > 8) return -1;
   const double deadline = now_s() + timeout_ms * 1e-3;
   for (;;) {
     uint32_t seq = __atomic_load_n(reinterpret_cast<uint32_t*>(s->base + 24),
                                    __ATOMIC_ACQUIRE);
     if (seq != s->last_seq) {
       s->last_seq = seq;
-      std::memcpy(doa, s->base + 28, 4);
+      std::memcpy(doas, s->base + 28, 4);
+      for (uint32_t i = 1; i < k; ++i)
+        std::memcpy(doas + i, s->base + 36 + 4 * (i - 1), 4);
       return 0;
     }
     if (now_s() > deadline) return -1;
     struct timespec ts{0, 200000};
     ::nanosleep(&ts, nullptr);
   }
+}
+
+extern "C" int sc_shm_recv_doa(void* h, float* doa, int timeout_ms) {
+  return sc_shm_recv_doas(h, doa, 1, timeout_ms);
 }
 
 extern "C" void sc_shm_close(void* h, int unlink_file) {

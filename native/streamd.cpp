@@ -24,7 +24,12 @@
 //                                matching (Tc, M)).  PCM16 halves the wire
 //                                AND host->device bytes; audio arrives as
 //                                int16 in production anyway.
-//   server → client per result:  u32 stream_id, f32 doa_radians
+//   server → client per result:  u32 stream_id, f32 doa_radians[K] where K
+//                                 is the server's configured sources-per-
+//                                 stream (sd_set_sources; default 1 keeps
+//                                 the legacy 8-byte frame).  Absent sources
+//                                 are NaN-padded — the frame stays fixed-
+//                                 size so client framing never desyncs.
 //
 // Stream ids are client-chosen slots in [0, max_streams); claiming a live
 // slot is rejected.  A (re)claimed slot is reported once through
@@ -75,8 +80,10 @@ constexpr size_t kReadyHighWater = 16;
 //   8       u64 write_pos               producer (release-stored)
 //   16      u64 read_pos                consumer (release-stored)
 //   24      u32 result_seq              consumer (incremented after doa)
-//   28      f32 result_doa              consumer
+//   28      f32 result_doa              consumer (source 0)
 //   32      u32 server_gen              consumer (attach generation)
+//   36      f32 result_doa[1..7]        consumer (multi-source slots 1..K-1,
+//                                       NaN-padded; sd_set_sources, K <= 8)
 //   64      data[capacity]              shared
 //
 // Producer blocks (spins/sleeps) when the ring is full — natural
@@ -101,8 +108,10 @@ struct ShmRing {
     __atomic_store_n(reinterpret_cast<uint64_t*>(base + 16), v,
                      __ATOMIC_RELEASE);
   }
-  void post_result(float doa) {
-    std::memcpy(base + 28, &doa, 4);
+  void post_result(const float* doa, uint32_t k) {
+    std::memcpy(base + 28, doa, 4);
+    for (uint32_t i = 1; i < k; ++i)
+      std::memcpy(base + 36 + 4 * (i - 1), doa + i, 4);
     uint32_t seq;
     std::memcpy(&seq, base + 24, 4);
     seq += 1;
@@ -151,6 +160,7 @@ struct Server {
   uint32_t elem_size = 4;     // bytes per sample (4 = f32, 2 = PCM16)
   std::atomic<bool> stopping{false};
   uint32_t batch_window_ms = 2;  // cohort-fill window (sd_set_window)
+  uint32_t res_floats = 1;       // DoA slots per result frame (sd_set_sources)
 
   std::mutex mu;  // guards streams[] (ready/fd/reset) — epoll vs compute
   std::condition_variable ready_cv;
@@ -362,6 +372,15 @@ void sd_set_window(void* h, uint32_t window_ms) {
   static_cast<Server*>(h)->batch_window_ms = window_ms;
 }
 
+// Sources per stream: every result frame carries exactly K DoA floats
+// (NaN-padded when fewer targets are confirmed).  K <= 8 so multi-source
+// frames also fit the shm header's fixed result slots.  Call before any
+// client connects — clients size their frame parser from the same config.
+void sd_set_sources(void* h, uint32_t k) {
+  auto* s = static_cast<Server*>(h);
+  s->res_floats = k < 1 ? 1u : (k > 8 ? 8u : k);
+}
+
 // Pop at most one ready chunk per stream (round-robin start for fairness),
 // up to max_batch streams.  Blocks up to timeout_ms when nothing is ready.
 // After the first chunk arrives, keeps collecting for up to window_ms while
@@ -508,19 +527,21 @@ int sd_take_resets(void* h, uint32_t* ids_out, int cap) {
 void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
                      const float* doas) {
   auto* s = static_cast<Server*>(h);
+  const uint32_t K = s->res_floats;  // doas is (n, K) row-major
+  const size_t msg_len = 4 + 4 * static_cast<size_t>(K);
   for (uint32_t i = 0; i < n; ++i) {
     if (ids[i] >= s->max_streams) continue;
     {
       std::lock_guard<std::mutex> lk(s->mu);
       Stream& st = s->streams[ids[i]];
       if (st.shm.base) {  // shm transport: one seq-tagged slot, never blocks
-        st.shm.post_result(doas[i]);
+        st.shm.post_result(doas + static_cast<size_t>(i) * K, K);
         continue;
       }
     }
-    uint8_t msg[8];
+    uint8_t msg[4 + 4 * 8];  // K <= 8 (sd_set_sources clamps)
     std::memcpy(msg, &ids[i], 4);
-    std::memcpy(msg + 4, &doas[i], 4);
+    std::memcpy(msg + 4, doas + static_cast<size_t>(i) * K, 4 * K);
     size_t off = 0;
     int spins = 0;
     int fd0;
@@ -531,7 +552,7 @@ void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
       gen0 = s->streams[ids[i]].gen;
     }
     if (fd0 < 0) continue;  // stream not live; drop
-    while (off < sizeof(msg)) {
+    while (off < msg_len) {
       ssize_t r;
       {
         // send under the mutex: non-blocking, so the hold is one syscall,
@@ -546,7 +567,7 @@ void sd_post_results(void* h, uint32_t n, const uint32_t* ids,
         std::lock_guard<std::mutex> lk(s->mu);
         if (s->streams[ids[i]].fd != fd0 ||
             s->streams[ids[i]].gen != gen0) break;  // died/reclaimed: drop
-        r = ::send(fd0, msg + off, sizeof(msg) - off,
+        r = ::send(fd0, msg + off, msg_len - off,
                    MSG_NOSIGNAL | MSG_DONTWAIT);
       }
       if (r > 0) {
