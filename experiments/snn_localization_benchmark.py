@@ -25,13 +25,11 @@ REF_DATA_DIRS = [
 ]
 
 
-def collect(num_samples: int = 200, freq_band=(1600, 2000), doa_true: float = 2.2439, snr_db: float = 10.0):
-    """Reference benchmark config: frame 0.4 s, kernel 20 ms, grid 64·7+1,
-    bipolar (snn_localization_benchmark.py:549-583)."""
+def _make_demo(freq_band):
     num_mic = 7
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=num_mic)
     num_grid = 64 * num_mic + 1
-    demo = Demo(
+    return Demo(
         geometry=geometry,
         freq_bands=[list(freq_band)],
         doa_list=np.linspace(-np.pi, np.pi, num_grid),
@@ -40,24 +38,109 @@ def collect(num_samples: int = 200, freq_band=(1600, 2000), doa_true: float = 2.
         bipolar_spikes=True,
         fs=FS,
     )
+
+
+def _clean_frame(demo, freq_band, doa_true, reflection: float = 0.0):
+    """Array input for the benchmark chirp — free-field, or reverberant via
+    the image-source model (reflection > 0; reverb_robustness.py's room)."""
     t, sig = chirp_template(freq_band, 0.4)
-    key = jax.random.PRNGKey(0)
-    sig_clean = np.asarray(signal_from_template(geometry, t, sig, doa_true, fs=FS))
+    if reflection <= 0.0:
+        return np.asarray(
+            signal_from_template(demo.geometry, t, sig, doa_true, fs=FS)
+        )
+    from haghighatshoarmuir2024_tpu.ops.interp import (
+        room_image_paths,
+        signal_from_template_multipath,
+    )
+
+    room, array_xy = (5.0, 4.0), (2.2, 1.7)
+    # place the source at the requested DoA, 1.5 m from the array
+    src = (array_xy[0] + 1.5 * np.cos(doa_true), array_xy[1] + 1.5 * np.sin(doa_true))
+    doas, extra, gains = room_image_paths(
+        src, array_xy, room, reflection=reflection, order=2
+    )
+    return np.asarray(
+        signal_from_template_multipath(
+            demo.geometry, t, sig, doas, extra, gains, fs=FS
+        )
+    )
+
+
+def collect(num_samples: int = 200, freq_band=(1600, 2000), doa_true: float = 2.2439,
+            snr_db: float = 10.0, reflection: float = 0.0, demo=None, batch: int = 20):
+    """Reference benchmark config: frame 0.4 s, kernel 20 ms, grid 64·7+1,
+    bipolar (snn_localization_benchmark.py:549-583).  Forwards run batched
+    (vmap over frames) — the reference records one frame at a time from the
+    board; here only the noise differs per frame."""
+    demo = demo or _make_demo(freq_band)
+    sig_clean = _clean_frame(demo, freq_band, doa_true, reflection)
     sigma = float(np.sqrt(np.mean(sig_clean**2) / 10 ** (snr_db / 10)))
 
+    fwd = jax.jit(jax.vmap(demo._forward_jit))
+    key = jax.random.PRNGKey(0)
     samples = []
     t0 = time.time()
-    for i in range(num_samples):
+    for s0 in range(0, num_samples, batch):
+        n = min(batch, num_samples - s0)
         key, sub = jax.random.split(key)
-        noisy = sig_clean + sigma * np.asarray(jax.random.normal(sub, sig_clean.shape))
-        doa, _ = demo.forward(noisy)
-        samples.append(np.rad2deg(float(doa)))
+        noise = sigma * np.asarray(
+            jax.random.normal(sub, (batch,) + sig_clean.shape)
+        )
+        doa, _ = fwd(jax.numpy.asarray(sig_clean[None] + noise, jax.numpy.float32))
+        samples.extend(np.rad2deg(np.asarray(doa))[:n].tolist())
     wall = time.time() - t0
     return np.asarray(samples), wall
 
 
+def sweep(num_samples: int = 200):
+    """SNR × reverberation stress sweep (VERDICT r4 directive 4): the r4 twin
+    reported 0.0°/0.0° at a single 10 dB point — repeatability, not
+    comparable noise behavior.  This sweeps SNR {0, 5, 10} dB free-field and
+    adds reverberant conditions (wall reflection 0.3/0.5, image-source model
+    of reverb_robustness.py), reporting windowed-median MAE and raw robust
+    std next to the reference's committed live bands (MAE 0.43–0.66°,
+    robust std 1.0–3.0°) — showing at which synthetic condition the twin
+    enters the measured dispersion band."""
+    demo = _make_demo((1600, 2000))
+    conditions = [
+        (10.0, 0.0), (5.0, 0.0), (0.0, 0.0),
+        (10.0, 0.3), (5.0, 0.3), (10.0, 0.5),
+    ]
+    rows = []
+    for snr_db, refl in conditions:
+        samples, wall = collect(
+            num_samples=num_samples, snr_db=snr_db, reflection=refl, demo=demo
+        )
+        stats = analyze_doa_samples(
+            samples, window_length=min(25, num_samples // 2), reject_jump=20.0
+        )
+        rows.append({
+            "snr_db": snr_db,
+            "reflection": refl,
+            "mae_deg": round(stats["doa_mae_postprocessed"], 4),
+            "robust_std_deg": round(stats["robust_std"], 4),
+            "raw_std_deg": round(stats["std"], 4),
+        })
+        print(
+            f"# snr {snr_db:+5.1f} dB  reflection {refl:.1f}  "
+            f"MAE {rows[-1]['mae_deg']:7.4f} deg  robust-std "
+            f"{rows[-1]['robust_std_deg']:7.4f} deg",
+            file=sys.stderr, flush=True,
+        )
+    report = {
+        "experiment": "snn_localization_benchmark_sweep",
+        "num_samples": num_samples,
+        "conditions": rows,
+        "reference_band": {"mae_deg": [0.43, 0.66], "robust_std_deg": [1.0, 3.0]},
+    }
+    print(json.dumps(report, indent=2))
+    return report
+
+
 def main():
     num_samples = 200 if "--quick" not in sys.argv else 25
+    if "--sweep" in sys.argv:
+        return sweep(num_samples)
     samples, wall = collect(num_samples=num_samples)
     outdir = os.environ.get("HM2024_BENCH_DIR", "/tmp/hm2024-benchmark")
     os.makedirs(outdir, exist_ok=True)

@@ -526,3 +526,47 @@ def test_multi_target_music_tracking_device_matches_host():
     assert s1 != s2
     assert fold(thetas[2:, s1], tru1[2:]).max() < 15.0
     assert fold(thetas[2:, s2], tru2[2:]).max() < 15.0
+
+
+# ------------------------------------------- interference-removal design
+def test_generalized_top_eigvec_on_device():
+    """VERDICT r4 #7: the interference-removal eigensolver
+    (ops/linalg.generalized_top_eigvec, the micloc/beamformer.py:165-190
+    twin) on the REAL chip — complex64 Cholesky-whitened pencils over a
+    small DoA-grid-shaped batch vs the CPU float64 scipy golden, at
+    f32-appropriate tolerance.  axon only supports complex64 inside jitted
+    programs, so the device path is fully jitted and downloads the real/imag
+    parts separately."""
+    import scipy.linalg
+
+    from haghighatshoarmuir2024_tpu.ops.linalg import generalized_top_eigvec
+
+    rng = np.random.default_rng(11)
+    G, n = 16, 7
+    # grid of Hermitian PD pencils shaped like the beamformer design:
+    # C = per-DoA rank-rich covariance, B = loaded sum-minus-self
+    A = rng.standard_normal((G, n, 12)) + 1j * rng.standard_normal((G, n, 12))
+    C = A @ A.conj().swapaxes(-1, -2)
+    C_sum = C.sum(axis=0)
+    Bm = C_sum[None] - C
+    load = np.mean(np.trace(C_sum).real / n) / 10.0
+    Bm = Bm + load * np.eye(n)[None]
+
+    @jax.jit
+    def solve(Cr, Ci, Br, Bi):
+        Cc = (Cr + 1j * Ci).astype(jnp.complex64)
+        Bc = (Br + 1j * Bi).astype(jnp.complex64)
+        v = jax.vmap(generalized_top_eigvec)(Cc, Bc)
+        return jnp.real(v), jnp.imag(v)
+
+    vr, vi = solve(
+        jnp.asarray(C.real, jnp.float32), jnp.asarray(C.imag, jnp.float32),
+        jnp.asarray(Bm.real, jnp.float32), jnp.asarray(Bm.imag, jnp.float32),
+    )
+    got = np.asarray(vr) + 1j * np.asarray(vi)
+
+    for g in range(G):
+        _, U = scipy.linalg.eigh(C[g], Bm[g])
+        v_ref = U[:, -1] / np.linalg.norm(U[:, -1])
+        inner = abs(np.vdot(v_ref, got[g]))
+        assert abs(inner - 1.0) < 5e-3, f"pencil {g}: |<ref,got>| = {inner}"
