@@ -64,6 +64,16 @@ def main(
     chunks = np.stack(
         [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS)) for d in doas]
     ).astype(np.float32)
+    if sources == 2:
+        # second equal-power tone per stream, 2 rad away (multi-source
+        # serving row, VERDICT r4 #5)
+        t2 = np.arange(0, chunk_sec, 1 / FS)
+        sig2 = np.sin(2 * np.pi * (float(np.mean(freq_band)) + 100.0) * t2)
+        doas_b = np.arctan2(np.sin(doas + 2.0), np.cos(doas + 2.0))
+        chunks = chunks + np.stack([
+            np.asarray(signal_from_template(geometry, t2, sig2, float(d), fs=FS))
+            for d in doas_b
+        ]).astype(np.float32)
     chunks = chunks + 0.1 * rng.standard_normal(chunks.shape).astype(np.float32)
     chunks_j = jnp.asarray(chunks)
 
@@ -110,7 +120,8 @@ def main(
         "serving-audio-sec/sec": round(serving, 1),
         "serving-step-ms": round(step_ms, 2),
         "streams": batch,
-        "doa-ok-frac@5deg": ok,
+        "doa-ok-frac@5deg" if sources == 1 else "both-sources-frac@10deg": ok,
+        "sources": sources,
         "latency-ms-blocking": round(float(np.median(lat_block)), 1),
         "latency-ms-pipelined": round(lat_pipe, 1),
     }
@@ -128,6 +139,7 @@ def daemon_main(
     wire: str = "i16",
     wire_upsample: int = 1,
     native_clients: bool = False,
+    sources: int = 1,
 ):
     """End-to-end serving throughput THROUGH the native daemon: 64 clients
     stream PCM in lockstep; wall time covers ingestion (native/streamd.cpp),
@@ -162,6 +174,16 @@ def daemon_main(
     chunks = np.stack(
         [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS)) for d in doas]
     ).astype(np.float32)
+    if sources == 2:
+        # second equal-power tone per stream, 2 rad away (multi-source
+        # serving row, VERDICT r4 #5)
+        t2 = np.arange(0, chunk_sec, 1 / FS)
+        sig2 = np.sin(2 * np.pi * (float(np.mean(freq_band)) + 100.0) * t2)
+        doas_b = np.arctan2(np.sin(doas + 2.0), np.cos(doas + 2.0))
+        chunks = chunks + np.stack([
+            np.asarray(signal_from_template(geometry, t2, sig2, float(d), fs=FS))
+            for d in doas_b
+        ]).astype(np.float32)
     chunks = chunks + 0.1 * rng.standard_normal(chunks.shape).astype(np.float32)
 
     # Compressed wire: PCM16 halves socket + host->device bytes vs f32
@@ -183,7 +205,7 @@ def daemon_main(
 
     with LocalizationServer(
         demo, max_streams=batch, chunk_sec=chunk_sec, wire_dtype=wire,
-        batch_window_ms=60, wire_upsample=wire_upsample,
+        batch_window_ms=60, wire_upsample=wire_upsample, sources=sources,
     ) as srv:
         srv.start()
         if native_clients:  # C producer path (native/streamc.cpp)
@@ -200,7 +222,10 @@ def daemon_main(
                 for i, c in enumerate(clients):
                     srv.attach_shm(i, c.name)
             else:
-                clients = [NativeStreamClient(srv.port, i) for i in range(batch)]
+                clients = [
+                    NativeStreamClient(srv.port, i, sources=sources)
+                    for i in range(batch)
+                ]
         elif use_shm:
             clients = [
                 ShmStreamClient(f"hm2024_bench_{os.getpid()}_{i}") for i in range(batch)
@@ -208,14 +233,17 @@ def daemon_main(
             for i, c in enumerate(clients):
                 srv.attach_shm(i, c.name)
         else:
-            clients = [StreamClient(srv.port, i) for i in range(batch)]
+            clients = [
+                StreamClient(srv.port, i, sources=sources) for i in range(batch)
+            ]
         # warm-up step compiles the batched program
         for i, c in enumerate(clients):
             c.send(chunks_wire[i])
         got = {}
         if use_shm:
             for i, c in enumerate(clients):
-                got[i] = c.recv_doa(timeout=600.0)
+                got[i] = (c.recv_doa(timeout=600.0) if sources == 1
+                          else c.recv_doa(timeout=600.0, sources=sources))
         else:
             for c in clients:
                 sid, doa = c.recv_doa(timeout=600.0)
@@ -229,15 +257,30 @@ def daemon_main(
                 c.send(chunks_wire[i])
             if use_shm:
                 for i, c in enumerate(clients):
-                    got[i] = c.recv_doa(timeout=600.0)
+                    got[i] = (c.recv_doa(timeout=600.0) if sources == 1
+                              else c.recv_doa(timeout=600.0, sources=sources))
             else:
                 for c in clients:
                     sid, doa = c.recv_doa(timeout=600.0)
                     got[sid] = doa
         wall = time.time() - t0
-        ests = np.array([got[i] for i in range(batch)])
-        err = np.abs(np.arcsin(np.abs(np.sin(ests - doas))))
-        ok = float(np.mean(np.rad2deg(err) < 5.0))
+        if sources == 2:
+            # each stream's K result slots must cover BOTH its true DoAs
+            oks = []
+            for i in range(batch):
+                res = np.atleast_1d(np.asarray(got[i], np.float64))
+                res = res[np.isfinite(res)]
+                cov = [
+                    res.size > 0 and bool(np.min(np.degrees(np.abs(np.arcsin(
+                        np.abs(np.sin(res - d)))))) < 10.0)
+                    for d in (doas[i], doas_b[i])
+                ]
+                oks.append(all(cov))
+            ok = float(np.mean(oks))
+        else:
+            ests = np.array([got[i] for i in range(batch)])
+            err = np.abs(np.arcsin(np.abs(np.sin(ests - doas))))
+            ok = float(np.mean(np.rad2deg(err) < 5.0))
         st = dict(srv.stage_times)
         for i, c in enumerate(clients):
             if use_shm:
@@ -249,7 +292,8 @@ def daemon_main(
         ("shm" if use_shm else "daemon") + "-audio-sec/sec": round(serving, 1),
         "daemon-step-ms": round(wall / n_steps * 1000, 2),
         "streams": batch,
-        "doa-ok-frac@5deg": ok,
+        "doa-ok-frac@5deg" if sources == 1 else "both-sources-frac@10deg": ok,
+        "sources": sources,
         "wire": wire + ("@12k" if wire_upsample == 4 else ""),
         "native-clients": native_clients,
     }
@@ -272,10 +316,12 @@ if __name__ == "__main__":
             wire = w
     up = 4 if "--decim=4" in sys.argv else 1
     native = "--native" in sys.argv
+    n_src = 2 if "--sources=2" in sys.argv else 1
     if "--shm" in sys.argv:
         daemon_main(use_shm=True, wire=wire, wire_upsample=up,
-                    native_clients=native)
+                    native_clients=native, sources=n_src)
     elif "--daemon" in sys.argv:
-        daemon_main(wire=wire, wire_upsample=up, native_clients=native)
+        daemon_main(wire=wire, wire_upsample=up, native_clients=native,
+                    sources=n_src)
     else:
         main()
