@@ -84,32 +84,131 @@ def _peak_kernel(x_ref, o_ref, *, iters: int, unroll: int):
 
     def body(i, carry):
         isyn, vmem, cnt = carry
-        isyn = isyn - jax.lax.shift_right_arithmetic(isyn, 2) + x  # 3 ops
-        vmem = vmem - jax.lax.shift_right_arithmetic(vmem, 2) + isyn  # 3 ops
-        fired = vmem >= 127  # 1 op
-        vmem = jnp.where(fired, vmem - 127, vmem)  # 2 ops
-        cnt = cnt + fired.astype(jnp.int32)  # 1 op (cast fused)
+        # Mosaic only lowers unroll=1 / full-unroll fori_loops; unroll by
+        # hand with a Python loop inside an unroll=1 outer loop.
+        for _ in range(unroll):
+            isyn = isyn - jax.lax.shift_right_arithmetic(isyn, 2) + x  # 3 ops
+            vmem = vmem - jax.lax.shift_right_arithmetic(vmem, 2) + isyn  # 3 ops
+            fired = vmem >= 127  # 1 op
+            vmem = jnp.where(fired, vmem - 127, vmem)  # 2 ops
+            cnt = cnt + fired.astype(jnp.int32)  # 1 op (cast fused)
         return isyn, vmem, cnt
 
+    assert iters % unroll == 0
     isyn, vmem, cnt = jax.lax.fori_loop(
-        0, iters, body, (isyn, vmem, cnt), unroll=unroll
+        0, iters // unroll, body, (isyn, vmem, cnt), unroll=1
     )
     o_ref[:] = isyn + vmem + cnt
 
 
-def vpu_peak(B: int, N: int, iters: int, reps: int):
-    x = jnp.ones((B, N), jnp.int32)
+def vpu_peak(reps: int):
+    """Max over working-set sizes: too small starves the VPU pipeline on the
+    serial dep chain, too large (3 carried arrays + input) spills vregs —
+    e.g. (96, 512) i32 is 4x48 = 192 live vregs and measures VMEM traffic,
+    not ALU peak (first run of this harness hit exactly that: 'peak' below
+    the production kernel's achieved rate).  Sweep and take the best.
+
+    Per-call work is held at a constant ~4e10 nominal ops regardless of
+    shape, so device time (>=10 ms/call even at several Tops/s) dwarfs the
+    axon tunnel's per-dispatch overhead — with a fixed small iteration count
+    the 2nd run of this harness measured dispatch overhead, not the VPU."""
+    OPS_TARGET = 4e10
+    best = (0.0, None, None)
+    for B in (8, 16, 32, 64):
+        iters = 16 * max(1, round(OPS_TARGET / (10.0 * B * 512) / 16))
+        x = jnp.ones((B, 512), jnp.int32)
+        fn = jax.jit(
+            lambda x, B=B, iters=iters: pl.pallas_call(
+                functools.partial(_peak_kernel, iters=iters, unroll=16),
+                out_shape=jax.ShapeDtypeStruct((B, 512), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(x)
+        )
+        dt = timeit(fn, (x,), reps)
+        ops = 10.0 * B * 512 * iters  # 9 ALU + 1 loop-mix margin -> 10 nominal
+        print(f"  peak sweep B={B:3d}: {ops/dt/1e12:.2f} Tops/s "
+              f"({dt*1e3:.1f} ms/call)", file=sys.stderr)
+        if ops / dt > best[0]:
+            best = (ops / dt, dt, B)
+    print(f"  (peak sweep best at B={best[2]} x 512)", file=sys.stderr)
+    return best[0], best[1]
+
+
+# ------------------------------------------- 1b. shift-max chain microbench
+def _chain_len(L: int) -> int:
+    """Iterations of the suppression kernels' dilated doubling loop over a
+    window of L (mirrors window_max/trailing_max/leading_min verbatim)."""
+    n, k = 0, 1
+    while k < L:
+        step = min(k, L - k)
+        n += 1
+        k += step
+    return n
+
+
+def suppression_shiftmax_pairs(w: int, W: int, rounds: int = 2) -> int:
+    """Shift+max pair count per element-launch of the fused bipolar round-1
+    kernel (ops/pallas/suppress_kernel._round_kernel_bipolar_first):
+    shared extrema chains (trailing_max over W + leading_min over W + the
+    d-shift) plus, per round and per polarity, window_max(h) + leading_any
+    + window_max(win_f)."""
+    wm = 2 * _chain_len(w + 1)
+    la = 1 + _chain_len(w)
+    per_round_per_pol = 2 * wm + la
+    extrema = 2 * _chain_len(W) + 1
+    return extrema + rounds * 2 * per_round_per_pol
+
+
+def _shiftmax_peak_kernel(x_ref, o_ref, *, iters: int, w: int):
+    """Speed-of-light for the suppression op mix: the exact dilated
+    shift(concat)+max window chain on a VMEM-resident (TBe, 128) f32 block,
+    no HBM grid traffic, no mask logic."""
+    v = x_ref[:]
+    TBe, R = v.shape
+
+    def shift_down(y, s, fill):
+        pad = jnp.full((s, R), fill, y.dtype)
+        return jnp.concatenate([pad, y[: TBe - s]], axis=0)
+
+    def shift_up(y, s, fill):
+        pad = jnp.full((s, R), fill, y.dtype)
+        return jnp.concatenate([y[s:], pad], axis=0)
+
+    def body(i, v):
+        y = v
+        k = 1
+        while k < w + 1:
+            step = min(k, w + 1 - k)
+            y = jnp.maximum(y, shift_down(y, step, jnp.float32(-3.0e38)))
+            k += step
+        z = y
+        k = 1
+        while k < w + 1:
+            step = min(k, w + 1 - k)
+            z = jnp.maximum(z, shift_up(z, step, jnp.float32(-3.0e38)))
+            k += step
+        # keep the loop-carried value data-dependent so no iteration folds
+        return z * jnp.float32(0.5) + v * jnp.float32(0.5)
+
+    o_ref[:] = jax.lax.fori_loop(0, iters, body, v, unroll=1)
+
+
+def shiftmax_peak(w: int, TBe: int, reps: int):
+    pairs_per_iter = 2 * _chain_len(w + 1)
+    iters = max(64, round(2e9 / (pairs_per_iter * TBe * 128)))
+    x = jnp.ones((TBe, 128), jnp.float32)
     fn = jax.jit(
         lambda x: pl.pallas_call(
-            functools.partial(_peak_kernel, iters=iters, unroll=16),
-            out_shape=jax.ShapeDtypeStruct((B, N), jnp.int32),
+            functools.partial(_shiftmax_peak_kernel, iters=iters, w=w),
+            out_shape=jax.ShapeDtypeStruct((TBe, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         )(x)
     )
     dt = timeit(fn, (x,), reps)
-    ops = 10.0 * B * N * iters  # 9 ALU + 1 loop-mix margin -> use 10 nominal
-    return ops / dt, dt
+    pairs = float(pairs_per_iter) * TBe * 128 * iters
+    return pairs / dt, dt
 
 
 # ----------------------------------------------- 3. k-step fused LIF variant
@@ -271,10 +370,10 @@ def main():
     out = {}
 
     # 1. measured VPU peak (LIF op mix, register-resident)
-    peak_ops, dt_peak = vpu_peak(B, N_pad, iters=2000, reps=args.reps)
+    peak_ops, dt_peak = vpu_peak(reps=max(4, args.reps // 10))
     out["vpu_peak_measured_ops_per_s"] = peak_ops
     print(f"VPU peak (measured, LIF op mix): {peak_ops/1e12:.2f} Tops/s "
-          f"({dt_peak*1e3:.3f} ms for 2000 iters)", file=sys.stderr)
+          f"({dt_peak*1e3:.3f} ms/call)", file=sys.stderr)
 
     # 2. production LIF kernel
     fn_lif = jax.jit(lambda a, b: lif_count_rates_bipolar(cfg, a, b, spike_bound=1))
@@ -305,20 +404,43 @@ def main():
         print(f"LIF k={k} fused: {dt_k*1e3:.3f} ms ({'exact' if exact else 'MISMATCH'}) "
               f"vs base {dt_lif*1e3:.3f} ms -> {dt_lif/dt_k:.2f}x", file=sys.stderr)
 
-    # 4. suppression kernel (fused bipolar RZCC encode)
+    # 4. suppression kernel (fused bipolar RZCC encode) vs its own op-mix
+    # speed-of-light: the kernel's work is dilated shift(concat)+max chains,
+    # not plain ALU ops, so the LIF-mix peak is the wrong ceiling.  Count
+    # executed shift+max pairs with a Python twin of the kernel's chain
+    # loops and compare against a VMEM-resident shift-max microbench.
+    from haghighatshoarmuir2024_tpu.ops.pallas.suppress_kernel import (
+        _pick_tb, _round_up as _ru_sup, R_TILE,
+    )
+
     fn_sup = jax.jit(lambda c: rzcc_encode_bipolar_tm(c, rw, 2 * rw))
     dt_sup = timeit(fn_sup, (cs_tm,), args.reps)
-    # per fixed-point round (2 fused per launch): window-max chains over
-    # (T, 2688) f32 — ~2*ceil(log2(w))+2 shift+max pairs per polarity plane
-    # plus mask/combine logic; nominal ~30 elem-ops per element per launch
-    R = cs_tm.shape[1] * 2  # both polarity planes
-    sup_ops = 30.0 * T * R
+    tb, ROUNDS, MB1 = _pick_tb(rw, 2 * rw)
+    TBe = tb + 2 * MB1
+    Tp = _ru_sup(T, tb)
+    Rp = _ru_sup(cs_tm.shape[1], R_TILE)
+    elems = (Tp // tb) * (Rp // R_TILE) * TBe * R_TILE
+    pairs_lo = suppression_shiftmax_pairs(rw, 2 * rw, rounds=1) * elems
+    pairs_hi = suppression_shiftmax_pairs(rw, 2 * rw, rounds=ROUNDS) * elems
+
+    sm_peak, _ = shiftmax_peak(rw, TBe, reps=max(4, args.reps // 10))
     out["suppress_ms"] = dt_sup * 1e3
-    out["suppress_achieved_ops_per_s"] = sup_ops / dt_sup
-    out["suppress_pct_of_peak"] = 100.0 * (sup_ops / dt_sup) / peak_ops
-    print(f"RZCC suppression: {dt_sup*1e3:.3f} ms -> {sup_ops/dt_sup/1e12:.2f} Tops/s "
-          f"= {out['suppress_pct_of_peak']:.0f}% of measured peak (nominal op count)",
-          file=sys.stderr)
+    out["shiftmax_peak_pairs_per_s"] = sm_peak
+    out["suppress_achieved_pairs_per_s_lo"] = pairs_lo / dt_sup
+    out["suppress_achieved_pairs_per_s_hi"] = pairs_hi / dt_sup
+    out["suppress_pct_of_shiftmax_peak_lo"] = 100.0 * (pairs_lo / dt_sup) / sm_peak
+    out["suppress_pct_of_shiftmax_peak_hi"] = 100.0 * (pairs_hi / dt_sup) / sm_peak
+    print(
+        f"shift-max speed-of-light (w={rw}, TBe={TBe}): {sm_peak/1e9:.1f} Gpairs/s",
+        file=sys.stderr)
+    print(
+        f"RZCC suppression: {dt_sup*1e3:.3f} ms -> "
+        f"{pairs_lo/dt_sup/1e9:.1f}-{pairs_hi/dt_sup/1e9:.1f} Gpairs/s = "
+        f"{out['suppress_pct_of_shiftmax_peak_lo']:.0f}-"
+        f"{out['suppress_pct_of_shiftmax_peak_hi']:.0f}% of the shift-max "
+        f"speed-of-light (lo = round-2 gating skips everywhere, hi = no "
+        f"block skips; + mask/extrema logic outside the pair count)",
+        file=sys.stderr)
 
     print(json.dumps({"experiment": "vpu_roofline", "batch": B, **{
         k: (round(v, 3) if isinstance(v, float) else v) for k, v in out.items()
