@@ -1,11 +1,27 @@
-"""Reduced internal-rate mode — measured refutation (VERDICT r4 directive 3).
+"""Reduced internal-rate mode — measured verdict (VERDICT r4 directive 3):
+**24 kHz is transparent, 12 kHz is refuted.**
 
 The hypothesis: since the u4@12k WIRE is in-band transparent for the
 1.6–2.6 kHz bands (experiments/wire_accuracy.py), running the whole pipeline
-(encode → RZCC → LIF) at fs_internal ∈ {12k, 24k} should buy ~4× fewer
+(encode → RZCC → LIF) at fs_internal ∈ {12k, 24k} should buy 2–4× fewer
 sequential LIF steps at unchanged accuracy.
 
-The measurement says no, and the reason is structural, not a tuning issue:
+Measured (TPU, 25 trials × {0, 10} dB, tone target, folded error):
+
+| fs    | matched MAE 0/10 dB | parity-peak MAE 0/10 dB | max delay | τ      |
+|-------|---------------------|-------------------------|-----------|--------|
+| 48 k  | 0.82° / 0.90°       | 11.3° / 14.0°           | 12.7 smp  | 4.4 smp|
+| 24 k  | 0.88° / 0.84°       |  8.9° /  9.6°           |  6.4 smp  | 2.2 smp|
+| 12 k  | 2.10° / 1.59°       | 17.5° / 27.3°           |  3.2 smp  | 1.1 smp|
+
+So the deviation gate ("within MC noise at ≥ 0 dB") PASSES at 24 kHz — the
+matched estimator calibrates at the same rate it evaluates at, so the
+profile warp moves but the accuracy doesn't, and even the reference-parity
+peak estimator improves (fewer suppression ties).  24 kHz is shipped as a
+documented-deviation mode (`Demo(fs=24_000)`; 48 kHz field input decimates
+with `ops.resample.decimate_fir(x, factor=2)` — same Kaiser prototype as
+the wire path; see the throughput section this file prints and RESULTS.md).  At 12 kHz two structural effects do bite, which is why the
+4× variant stays refuted:
 
 1. **Sub-sample aperture.**  The 7-mic r=4.5 cm array's maximum inter-mic
    delay is 2r/c = 265 µs — 12.7 samples at 48 kHz but only 3.2 at 12 kHz
@@ -13,24 +29,14 @@ The measurement says no, and the reason is structural, not a tuning issue:
    quantizes zero-crossing TIMES to the sample grid; DoA information *is*
    those relative timings.  The wire path survives 12 kHz because the
    bandlimited waveform is interpolated back to 48 kHz on-device BEFORE
-   spike encoding (ops/resample.py) — the sub-sample timing is recovered
-   from the waveform, then re-quantized on the fine grid.  Encoding on the
-   coarse grid discards it unrecoverably.
+   spike encoding (ops/resample.py) — encoding on the coarse grid discards
+   the sub-sample timing unrecoverably.
 
 2. **Degenerate integer time constants.**  The reference couples the LIF to
    the carrier: τ = 1/(2π·f_mid) ≈ 91 µs (micloc/xylo_snn_localization.py:
-   117-122) = 4.4 samples at 48 kHz, but 1.1 samples at 12 kHz — the
-   bitshift decay quantizes to dash=0, i.e. full decay per step: the
-   synapse/membrane integrator degenerates to a pass-through.
-
-The experiment: identical Monte-Carlo (tone target, random DoA, folded
-error) at fs ∈ {48k, 24k, 12k}, reference-parity peak + matched estimators,
-plus the aperture arithmetic.  Typical result (25 trials, 10 dB): ~1° at
-48 kHz vs ~10° at 24 kHz vs ~24° at 12 kHz — orders outside MC noise, so
-the deviation gate (VERDICT: "within MC noise at ≥0 dB") fails and 48 kHz
-stays the pipeline rate.  The throughput lever that DOES survive this
-physics is the wire rate (client decimates, device reconstructs), which is
-already shipped (runtime/server.py wire_upsample=4).
+   117-122) = 4.4 samples at 48 kHz → dash=2, still 2.2 → dash=1 at 24 kHz,
+   but 1.1 samples at 12 kHz — the bitshift decay quantizes toward dash=0,
+   i.e. full decay per step: the integrator degenerates to a pass-through.
 """
 import json
 import sys
@@ -93,6 +99,29 @@ def run_rate(fs: int, num_sims: int, snr_db_vec, num_grid: int = 113, seed: int 
     r = 4.5e-2
     out["max_delay_samples"] = 2 * r / SOUND_SPEED * fs
     out["tau_samples"] = fs / (2 * np.pi * 1750.0)
+
+    # flagship-style throughput at this rate: 96-frame matched forward,
+    # pipelined (block once after all dispatches — bench.py's convention)
+    import time
+
+    B = 96
+    doas = np.linspace(-np.pi, np.pi, B, endpoint=False)
+    frames = np.asarray(
+        jax.jit(
+            jax.vmap(lambda d: signal_from_template(geometry, t, sig, d, fs=fs))
+        )(jnp.asarray(doas))
+    ).astype(np.float32)
+    frames_j = jnp.asarray(frames)
+    jax.block_until_ready(fwd(frames_j))
+    reps = 30
+    t0 = time.perf_counter()
+    res = None
+    for _ in range(reps):
+        res = fwd(frames_j)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / reps
+    out["forward_ms_b96"] = dt * 1e3
+    out["audio_sec_per_sec"] = B * 0.25 / dt
     return out
 
 
@@ -103,20 +132,28 @@ def main():
     print(json.dumps({"experiment": "reduced_rate_refutation",
                       "num_sims": num_sims, "rows": rows}, indent=2))
     ref = rows[0]
-    print("\n# fs    max_delay(samples)  tau(samples)  MAE@0dB(matched)  MAE@10dB(matched)",
+    print("\n# fs    max_delay(smp)  tau(smp)  MAE@0dB  MAE@10dB  b96-fwd(ms)  audio-s/s",
           file=sys.stderr)
     for r in rows:
         print(
             f"# {r['fs']:6d}  {r['max_delay_samples']:8.1f}  "
-            f"{r['tau_samples']:8.1f}  {r['matched_mae_deg'][0]:8.2f}  "
-            f"{r['matched_mae_deg'][1]:8.2f}",
+            f"{r['tau_samples']:8.1f}  {r['matched_mae_deg'][0]:7.2f}  "
+            f"{r['matched_mae_deg'][1]:8.2f}  {r['forward_ms_b96']:9.2f}  "
+            f"{r['audio_sec_per_sec']:9.0f}",
             file=sys.stderr,
         )
-    worst = max(abs(a - b) for a, b in zip(rows[-1]["matched_mae_deg"],
-                                           ref["matched_mae_deg"]))
-    print(f"# 12k-vs-48k matched MAE delta up to {worst:.1f} deg — far outside "
-          "MC noise: reduced-rate mode REFUTED (see module docstring)",
-          file=sys.stderr)
+    # deviation gate (VERDICT r4 #3): matched MAE within MC noise of 48 kHz
+    # at >= 0 dB.  MC noise for 25 folded-error trials at this accuracy is
+    # ~0.2-0.3 deg run-to-run; gate at 0.4 deg.
+    for r in rows[1:]:
+        worst = max(abs(a - b) for a, b in zip(r["matched_mae_deg"],
+                                               ref["matched_mae_deg"]))
+        verdict = "TRANSPARENT (gate passed)" if worst <= 0.4 else "REFUTED"
+        print(f"# fs={r['fs']}: matched-MAE delta vs 48k up to {worst:.2f} deg "
+              f"-> {verdict}", file=sys.stderr)
+    print("# see module docstring: 24 kHz ships as a documented-deviation "
+          "mode; 12 kHz stays refuted (sub-sample aperture + degenerate "
+          "integer taus)", file=sys.stderr)
 
 
 if __name__ == "__main__":
