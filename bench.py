@@ -87,7 +87,11 @@ def main():
     prime_transfers()
     primer_time = time.time() - t0p
 
-    fs = 48_000
+    # HM2024_BENCH_FS=24000 runs the measured-transparent reduced-rate
+    # variant (experiments/reduced_rate.py: matched MAE within MC noise of
+    # 48 kHz; 12 kHz is refuted).  The driver's headline stays the
+    # reference-exact 48 kHz config.
+    fs = int(os.environ.get("HM2024_BENCH_FS", "48000"))
     frame = 0.25
     num_grid = 64 * 7 + 1
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
@@ -178,10 +182,16 @@ def main():
     ok_matched = ok_frac(doa, 5.0)
     ok_peak = ok_frac(doa_peak, 25.0)
 
+    metric = (
+        "audio-sec/sec/chip full encode->SNN->DoA pipeline "
+        "(7-mic Hilbert-SNN, 449-DoA grid, matched estimator)"
+    )
+    if fs != 48_000:
+        metric += f" [reduced-rate variant fs={fs}]"
     print(
         json.dumps(
             {
-                "metric": "audio-sec/sec/chip full encode->SNN->DoA pipeline (7-mic Hilbert-SNN, 449-DoA grid, matched estimator)",
+                "metric": metric,
                 "value": round(throughput, 2),
                 "unit": "audio-sec/sec",
                 "vs_baseline": round(throughput, 2),

@@ -112,12 +112,17 @@ def run_rate(fs: int, num_sims: int, snr_db_vec, num_grid: int = 113, seed: int 
         )(jnp.asarray(doas))
     ).astype(np.float32)
     frames_j = jnp.asarray(frames)
-    jax.block_until_ready(fwd(frames_j))
+    # the flagship BATCH program (fused time-major kernels), not the
+    # vmapped single-frame form — the first run of this section timed the
+    # latter and read 53 ms where the flagship does 7.4 (wrong program,
+    # right ratios)
+    fwd_b = demo._forward_batch_matched_jit
+    jax.block_until_ready(fwd_b(frames_j))
     reps = 30
     t0 = time.perf_counter()
     res = None
     for _ in range(reps):
-        res = fwd(frames_j)
+        res = fwd_b(frames_j)
     jax.block_until_ready(res)
     dt = (time.perf_counter() - t0) / reps
     out["forward_ms_b96"] = dt * 1e3

@@ -67,17 +67,50 @@ def _clean_frame(demo, freq_band, doa_true, reflection: float = 0.0):
 
 
 def collect(num_samples: int = 200, freq_band=(1600, 2000), doa_true: float = 2.2439,
-            snr_db: float = 10.0, reflection: float = 0.0, demo=None, batch: int = 20):
+            snr_db: float = 10.0, reflection: float = 0.0, demo=None, batch: int = 20,
+            gain_std_db: float = 0.0, sway_deg: float = 0.0,
+            sway_corr: float = 0.0):
     """Reference benchmark config: frame 0.4 s, kernel 20 ms, grid 64·7+1,
     bipolar (snn_localization_benchmark.py:549-583).  Forwards run batched
     (vmap over frames) — the reference records one frame at a time from the
-    board; here only the noise differs per frame."""
+    board; here the per-frame variation is white noise plus (optionally) the
+    nonstationarity live recordings actually have: per-frame per-mic gain
+    drift (``gain_std_db``, log-normal) and source sway (``sway_deg``,
+    Gaussian DoA jitter re-synthesized per frame; ``sway_corr`` makes it an
+    AR(1) slow drift with stationary std ``sway_deg`` — correlation time
+    1/(1-corr) frames, the structure live source motion has and iid jitter
+    lacks: the 25-frame median window cancels iid sway but tracks a
+    drift)."""
     demo = demo or _make_demo(freq_band)
     sig_clean = _clean_frame(demo, freq_band, doa_true, reflection)
     sigma = float(np.sqrt(np.mean(sig_clean**2) / 10 ** (snr_db / 10)))
 
+    sway_frames = None
+    if sway_deg > 0.0:
+        # re-synthesize every frame at a swayed DoA (free-field component
+        # only; the image-source synthesis is per-DoA too expensive per
+        # frame and sway is a free-field effect to first order)
+        t, sig = chirp_template(freq_band, 0.4)
+        rng_sway = np.random.default_rng(1)
+        innov = rng_sway.standard_normal(num_samples)
+        if sway_corr > 0.0:
+            x = np.empty(num_samples)
+            x[0] = innov[0]
+            scale = np.sqrt(1.0 - sway_corr**2)
+            for k in range(1, num_samples):
+                x[k] = sway_corr * x[k - 1] + scale * innov[k]
+            innov = x
+        doas = doa_true + np.deg2rad(sway_deg) * innov
+        import jax.numpy as jnp
+
+        synth = jax.jit(jax.vmap(
+            lambda d: signal_from_template(demo.geometry, t, sig, d, fs=FS)
+        ))
+        sway_frames = np.asarray(synth(jnp.asarray(doas))).astype(np.float32)
+
     fwd = jax.jit(jax.vmap(demo._forward_jit))
     key = jax.random.PRNGKey(0)
+    rng_gain = np.random.default_rng(2)
     samples = []
     t0 = time.time()
     for s0 in range(0, num_samples, batch):
@@ -86,7 +119,20 @@ def collect(num_samples: int = 200, freq_band=(1600, 2000), doa_true: float = 2.
         noise = sigma * np.asarray(
             jax.random.normal(sub, (batch,) + sig_clean.shape)
         )
-        doa, _ = fwd(jax.numpy.asarray(sig_clean[None] + noise, jax.numpy.float32))
+        if sway_frames is not None:
+            clean = sway_frames[s0 : s0 + batch]
+            if clean.shape[0] < batch:  # pad tail batch to the jitted shape
+                clean = np.concatenate(
+                    [clean, np.repeat(clean[-1:], batch - clean.shape[0], axis=0)]
+                )
+        else:
+            clean = np.broadcast_to(sig_clean[None], noise.shape)
+        if gain_std_db > 0.0:
+            gains = 10 ** (
+                rng_gain.normal(0.0, gain_std_db, (batch, 1, clean.shape[-1])) / 20.0
+            )
+            clean = clean * gains
+        doa, _ = fwd(jax.numpy.asarray(clean + noise, jax.numpy.float32))
         samples.extend(np.rad2deg(np.asarray(doa))[:n].tolist())
     wall = time.time() - t0
     return np.asarray(samples), wall
@@ -102,35 +148,54 @@ def sweep(num_samples: int = 200):
     robust std 1.0–3.0°) — showing at which synthetic condition the twin
     enters the measured dispersion band."""
     demo = _make_demo((1600, 2000))
-    # First sweep (r5) measured 0.0 deg MAE / 0.0 deg robust-std at every
-    # condition down to 0 dB and reflection 0.5 — the twin is MORE stable
-    # than the live runs there, so the interesting region (where it enters
-    # the reference's measured dispersion band) is below 0 dB / above 0.5
-    # reflection; extend the grid down to -10 dB and 0.7.
+    # The r5 white-noise-only sweep measured 0.0 deg MAE / 0.0 deg
+    # robust-std at EVERY condition down to -10 dB free-field and
+    # reflection 0.5: a stationary source + fresh white noise per frame
+    # lands every 0.4 s frame on the same grid point (the 19200-sample
+    # coherent integration swamps thermal noise), so the live runs' 1-3 deg
+    # robust std must come from NONSTATIONARITY, not SNR.  The sweep
+    # therefore also turns the two physical nonstationarity knobs live
+    # recordings have — per-frame per-mic gain drift and source sway —
+    # to find where the twin enters the measured dispersion band.
+    # Measured in the first two r5 passes (kept for the RESULTS table; all
+    # stationary-source conditions land EVERY frame on the same grid point):
+    #   snr {10,5,0,-5,-10} x refl {0,0.3,0.5,0.7}, gain drift {1,2} dB,
+    #   iid sway 1 deg -> MAE 0.0 / robust-std 0.0 (raw-std <= 0.38);
+    #   iid sway 2 deg -> raw-std 1.14 enters the live band, robust-std
+    #   still 0.0 (the raw-peak estimator's plateau keeps >50% of frames on
+    #   the modal grid point and the 25-frame median cancels iid jitter).
+    # The remaining conditions probe source DRIFT (AR(1), correlation time
+    # ~= the median window) and larger sway, where the windowed-median MAE
+    # itself must lift off zero.
     conditions = [
-        (10.0, 0.0), (5.0, 0.0), (0.0, 0.0), (-5.0, 0.0), (-10.0, 0.0),
-        (10.0, 0.3), (0.0, 0.3), (-5.0, 0.3),
-        (10.0, 0.5), (0.0, 0.5), (10.0, 0.7), (0.0, 0.7),
+        dict(snr_db=10.0, reflection=0.0, sway_deg=2.0),
+        dict(snr_db=10.0, reflection=0.0, sway_deg=3.0),
+        dict(snr_db=10.0, reflection=0.0, sway_deg=4.0),
+        dict(snr_db=10.0, reflection=0.0, sway_deg=5.0),
+        dict(snr_db=10.0, reflection=0.0, sway_deg=3.0, sway_corr=0.96),
+        dict(snr_db=10.0, reflection=0.0, sway_deg=5.0, sway_corr=0.96),
     ]
     rows = []
-    for snr_db, refl in conditions:
-        samples, wall = collect(
-            num_samples=num_samples, snr_db=snr_db, reflection=refl, demo=demo
-        )
+    for cond in conditions:
+        samples, wall = collect(num_samples=num_samples, demo=demo, **cond)
         stats = analyze_doa_samples(
             samples, window_length=min(25, num_samples // 2), reject_jump=20.0
         )
         rows.append({
-            "snr_db": snr_db,
-            "reflection": refl,
+            **cond,
             "mae_deg": round(stats["doa_mae_postprocessed"], 4),
             "robust_std_deg": round(stats["robust_std"], 4),
             "raw_std_deg": round(stats["std"], 4),
         })
         print(
-            f"# snr {snr_db:+5.1f} dB  reflection {refl:.1f}  "
-            f"MAE {rows[-1]['mae_deg']:7.4f} deg  robust-std "
-            f"{rows[-1]['robust_std_deg']:7.4f} deg",
+            f"# snr {cond['snr_db']:+5.1f} dB  reflection "
+            f"{cond.get('reflection', 0.0):.1f}  gain "
+            f"{cond.get('gain_std_db', 0.0):.1f} dB  sway "
+            f"{cond.get('sway_deg', 0.0):.1f} deg  corr "
+            f"{cond.get('sway_corr', 0.0):.2f}  ->  MAE "
+            f"{rows[-1]['mae_deg']:7.4f} deg  robust-std "
+            f"{rows[-1]['robust_std_deg']:7.4f} deg  raw-std "
+            f"{rows[-1]['raw_std_deg']:7.4f} deg",
             file=sys.stderr, flush=True,
         )
     report = {

@@ -160,10 +160,14 @@ def suppression_shiftmax_pairs(w: int, W: int, rounds: int = 2) -> int:
     return extrema + rounds * 2 * per_round_per_pol
 
 
-def _shiftmax_peak_kernel(x_ref, o_ref, *, iters: int, w: int):
-    """Speed-of-light for the suppression op mix: the exact dilated
-    shift(concat)+max window chain on a VMEM-resident (TBe, 128) f32 block,
-    no HBM grid traffic, no mask logic."""
+def _shiftmax_peak_kernel(x_ref, o_ref, *, rep: int, w: int):
+    """Speed-of-light for the suppression op mix: dilated shift(concat)+max
+    window chains on a (TBe, 128) f32 block, straight-line like the
+    production kernels (a fori_loop carry round-trips the 224-vreg state
+    through VMEM every iteration and halves the measured ceiling — the first
+    run of this microbench landed BELOW the production kernel's achieved
+    rate).  Chains alternate max-down / min-up so no composition is
+    idempotent and nothing folds."""
     v = x_ref[:]
     TBe, R = v.shape
 
@@ -175,7 +179,7 @@ def _shiftmax_peak_kernel(x_ref, o_ref, *, iters: int, w: int):
         pad = jnp.full((s, R), fill, y.dtype)
         return jnp.concatenate([y[s:], pad], axis=0)
 
-    def body(i, v):
+    for _ in range(rep):
         y = v
         k = 1
         while k < w + 1:
@@ -186,28 +190,35 @@ def _shiftmax_peak_kernel(x_ref, o_ref, *, iters: int, w: int):
         k = 1
         while k < w + 1:
             step = min(k, w + 1 - k)
-            z = jnp.maximum(z, shift_up(z, step, jnp.float32(-3.0e38)))
+            z = jnp.minimum(z, shift_up(z, step, jnp.float32(3.0e38)))
             k += step
-        # keep the loop-carried value data-dependent so no iteration folds
-        return z * jnp.float32(0.5) + v * jnp.float32(0.5)
-
-    o_ref[:] = jax.lax.fori_loop(0, iters, body, v, unroll=1)
+        v = z
+    o_ref[:] = v
 
 
 def shiftmax_peak(w: int, TBe: int, reps: int):
-    pairs_per_iter = 2 * _chain_len(w + 1)
-    iters = max(64, round(2e9 / (pairs_per_iter * TBe * 128)))
+    """Grid of straight-line chain blocks, every program on the same block
+    (index_map -> 0) so HBM traffic mirrors production without uploading
+    hundreds of MB through the tunnel."""
+    REP = 32
+    pairs_per_prog = 2 * _chain_len(w + 1) * REP
+    NB = max(8, round(1e10 / (pairs_per_prog * TBe * 128)))
     x = jnp.ones((TBe, 128), jnp.float32)
     fn = jax.jit(
         lambda x: pl.pallas_call(
-            functools.partial(_shiftmax_peak_kernel, iters=iters, w=w),
+            functools.partial(_shiftmax_peak_kernel, rep=REP, w=w),
+            grid=(NB,),
+            in_specs=[pl.BlockSpec((TBe, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((TBe, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((TBe, 128), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
         )(x)
     )
     dt = timeit(fn, (x,), reps)
-    pairs = float(pairs_per_iter) * TBe * 128 * iters
+    pairs = float(pairs_per_prog) * NB * TBe * 128
     return pairs / dt, dt
 
 

@@ -365,6 +365,7 @@ class Demo:
         """Audio frame (T, M) → input spike raster
         (micloc/xylo_snn_localization.py:315-356)."""
         sig_in = jnp.asarray(sig_in, dtype=jnp.float32)
+        self._check_channels(sig_in)
         return _spike_encoding_core(
             sig_in,
             jnp.asarray(self.beamfs[0].kernel, dtype=jnp.float32),
@@ -648,6 +649,19 @@ class Demo:
             self._profiles = out
         return out
 
+    def _check_channels(self, sig_in) -> None:
+        """Reject mismatched mic counts EARLY with a clean error: the
+        per-channel encode happily processes any width (it only fails — or
+        silently mis-broadcasts — channels deep into the LIF input matmul).
+        The reference has no such check (its scipy loop raises an opaque
+        shape error from inside lfilter)."""
+        M = len(self.geometry)
+        if sig_in.ndim != 2 or sig_in.shape[-1] != M:
+            raise ValueError(
+                f"sig_in must be (T, {M}) for this {M}-mic geometry; got "
+                f"{tuple(sig_in.shape)}"
+            )
+
     # ------------------------------------------------------------- jitted path
     def forward(self, sig_in):
         """Whole chain as one jitted call: (T, M) audio → (doa, rate).
@@ -655,7 +669,9 @@ class Demo:
         This is the flagship benchmarked program — no host round-trips between
         stages (the reference crosses Python/rockpool boundaries per stage).
         """
-        return self._forward_jit(jnp.asarray(sig_in, jnp.float32))
+        sig_in = jnp.asarray(sig_in, jnp.float32)
+        self._check_channels(sig_in)
+        return self._forward_jit(sig_in)
 
     @functools.cached_property
     def _forward_jit(self):

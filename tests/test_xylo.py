@@ -255,6 +255,17 @@ def test_spike_encoding_shape_and_polarity(demo):
         assert np.all(pos * neg == 0)
 
 
+def test_wrong_channel_count_raises(demo):
+    """Round-5 verify finding: the per-channel encode silently processed a
+    3-channel frame against a 7-mic design; both entry points must reject
+    mismatched widths with a clean ValueError."""
+    d, _ = demo
+    with pytest.raises(ValueError, match="mic geometry"):
+        d.spike_encoding(np.zeros((100, 3), np.float32))
+    with pytest.raises(ValueError, match="mic geometry"):
+        d.forward(np.zeros((100, 3), np.float32))
+
+
 def test_quantized_doa_accuracy(demo):
     """Full quantized chain localizes a noisy tone.
 
