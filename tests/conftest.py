@@ -71,6 +71,7 @@ _SLOW_TESTS = {
     "test_mesh_and_monte_carlo_sharded",
     "test_rzcc_under_jit_and_vmap",
     # 24 kHz reduced-rate mode: module fixture designs + calibrates a demo
+    "test_server_reduced_rate_24k",
     "test_taus_nondegenerate_at_24k",
     "test_matched_estimator_localizes_at_24k",
     "test_48k_field_input_decimates_to_24k_mode",
