@@ -145,6 +145,17 @@ class LocalizationServer:
         self.source_rel_height = float(source_rel_height)
         if wire_upsample not in (1, 4):
             raise ValueError("wire_upsample must be 1 or 4")
+        if wire_upsample > 1 and abs(float(demo.fs) - 48_000.0) > 1e-6:
+            # the anti-alias/reconstruction prototype's cutoff is a FRACTION
+            # of the internal rate (ops/resample.design_upsample_fir:
+            # 0.09375·fs = 4.5 kHz at 48 k) — at the 24 kHz reduced-rate mode
+            # it would fall to 2.25 kHz, INSIDE the 2.0–2.6 kHz reference
+            # bands, silently attenuating them on the wire
+            raise ValueError(
+                "wire_upsample>1 assumes the 48 kHz internal rate; for the "
+                "24 kHz reduced-rate mode use wire_dtype i16/u8/u4 at the "
+                "native rate instead"
+            )
         # Compressed wire formats cut socket AND host->device bytes (the
         # pipeline is amplitude-scale-invariant: linear front-end, extrema
         # spike decisions, binary spikes into the integer SNN):

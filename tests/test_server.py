@@ -695,3 +695,48 @@ def test_server_multi_source_crossing_tracks(demo):
         best_b = min(_folded_deg(f, path_b[-1]) for f in finite)
         assert best_a < 30.0 and best_b < 30.0, np.rad2deg(finite)
         c.close()
+
+
+def test_server_reduced_rate_24k(tmp_path):
+    """The serving daemon is fs-agnostic: a 24 kHz reduced-rate model
+    (round 5, experiments/reduced_rate.py — measured transparent) serves
+    through sockets unchanged.  The wire_upsample>1 combination is rejected:
+    its anti-alias prototype's cutoff is fs-relative (2.25 kHz at 24 k,
+    inside the 2.0-2.6 kHz reference bands)."""
+    fs24 = 24_000
+    geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
+    d24 = Demo(
+        geometry=geometry,
+        freq_bands=[[1600, 1900]],
+        doa_list=np.linspace(-np.pi, np.pi, 65),
+        recording_duration=0.25,
+        kernel_duration=5e-3,
+        bipolar_spikes=True,
+        fs=fs24,
+        use_cache=False,
+    )
+    # matched estimator (the production path): the raw-peak warp at this
+    # tiny grid/kernel config is ~30 deg at 24 kHz, as at 48 kHz
+    d24.calibrate_profiles(use_cache=False)
+    chunk_sec = 0.125
+    Tc = int(chunk_sec * fs24)
+    doa_true = 0.7
+    t = np.arange(0, 3 * chunk_sec, 1 / fs24)
+    sig = np.sin(2 * np.pi * 1750 * t)
+    clean = np.asarray(signal_from_template(d24.geometry, t, sig, doa_true, fs=fs24))
+    rng = np.random.default_rng(0)
+    sigma = np.sqrt((clean**2).mean() / 10 ** (10.0 / 10))
+    stream = (clean + sigma * rng.standard_normal(clean.shape)).astype(np.float32)
+
+    with LocalizationServer(d24, max_streams=2, chunk_sec=chunk_sec) as srv:
+        srv.start()
+        c = StreamClient(srv.port, 0)
+        got = None
+        for k in range(3):
+            c.send(stream[k * Tc : (k + 1) * Tc])
+            _, got = c.recv_doa(timeout=300.0)
+        c.close()
+    assert _folded_deg(got, doa_true) < 25.0, got
+
+    with pytest.raises(ValueError, match="48 kHz"):
+        LocalizationServer(d24, max_streams=2, wire_upsample=4)
