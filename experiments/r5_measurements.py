@@ -33,13 +33,22 @@ def _stage(name):
           flush=True)
 
 
+STAGES = ("roofline", "reduced_rate", "benchmark_sweep", "xylo_envelope")
+
+
 def main():
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    unknown = [s for s in only if s not in STAGES]
+    if unknown:
+        # validate BEFORE the primer: a typo'd stage name would otherwise
+        # pay the multi-minute first-D2H stall, run nothing, and still
+        # print "all stages done"
+        sys.exit(f"unknown --only stage(s) {unknown}; valid: {list(STAGES)}")
+    sys.argv = [sys.argv[0]]
+
     t0 = time.time()
     prime_transfers()
     print(f"[primer {time.time() - t0:.1f}s]", file=sys.stderr, flush=True)
-
-    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
-    sys.argv = [sys.argv[0]]
 
     if not only or "roofline" in only:
         _stage("vpu_roofline")

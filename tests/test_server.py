@@ -697,7 +697,7 @@ def test_server_multi_source_crossing_tracks(demo):
         c.close()
 
 
-def test_server_reduced_rate_24k(tmp_path):
+def test_server_reduced_rate_24k():
     """The serving daemon is fs-agnostic: a 24 kHz reduced-rate model
     (round 5, experiments/reduced_rate.py — measured transparent) serves
     through sockets unchanged.  The wire_upsample>1 combination is rejected:
