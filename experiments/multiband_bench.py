@@ -38,6 +38,12 @@ def main():
     from haghighatshoarmuir2024_tpu.models.xylo import Demo
     from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template
 
+    # --fs=24000 runs the measured-transparent reduced-rate variant
+    # (experiments/reduced_rate.py; the --band=hi row gates the highest band)
+    fs = 48_000
+    for a in sys.argv[1:]:
+        if a.startswith("--fs="):
+            fs = int(a.split("=", 1)[1])
     frame = 0.25
     num_grid = 64 * 7 + 1
     freq_bands = [[1600.0, 2000.0], [2000.0, 2300.0], [2300.0, 2600.0]]
@@ -57,7 +63,7 @@ def main():
         recording_duration=frame,
         kernel_duration=10e-3,
         bipolar_spikes=True,
-        fs=FS,
+        fs=fs,
         enforce_hw_limits=False,
     )
     design_time = time.time() - t0
@@ -65,10 +71,10 @@ def main():
     # wideband test signal spanning all three bands (jittered sum of the
     # band centers — the live benchmark's template class,
     # snn_localization_benchmark.py:116-148)
-    t = np.arange(0, frame, 1 / FS)
+    t = np.arange(0, frame, 1 / fs)
     sig = np.zeros_like(t)
     for band in freq_bands:
-        _, s = jittered_sinusoid_template(float(np.mean(band)), frame, seed=1)
+        _, s = jittered_sinusoid_template(float(np.mean(band)), frame, fs=fs, seed=1)
         sig = sig + s
     sig /= np.abs(sig).max()
 
@@ -77,7 +83,7 @@ def main():
     doas = np.linspace(-np.pi, np.pi, batch_size, endpoint=False)
     frames = np.stack(
         [
-            np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS))
+            np.asarray(signal_from_template(geometry, t, sig, float(d), fs=fs))
             for d in doas
         ]
     ).astype(np.float32)
@@ -119,6 +125,7 @@ def main():
         json.dumps(
             {
                 "experiment": "multiband_flagship_bench",
+                "fs": fs,
                 "freq_bands": freq_bands,
                 "batch": batch_size,
                 "throughput_audio_sec_per_sec": round(throughput, 2),

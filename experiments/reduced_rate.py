@@ -55,11 +55,12 @@ from haghighatshoarmuir2024_tpu.ops.interp import signal_from_template  # noqa: 
 SOUND_SPEED = 340.0
 
 
-def run_rate(fs: int, num_sims: int, snr_db_vec, num_grid: int = 113, seed: int = 0):
+def run_rate(fs: int, num_sims: int, snr_db_vec, num_grid: int = 113, seed: int = 0,
+             freq_band=(1600, 1900)):
     geometry = CenterCircularArray(radius=4.5e-2, num_mic=7)
     demo = Demo(
         geometry=geometry,
-        freq_bands=[[1600, 1900]],
+        freq_bands=[list(freq_band)],
         doa_list=np.linspace(-np.pi, np.pi, num_grid),
         recording_duration=0.25,
         kernel_duration=10e-3,
@@ -67,8 +68,9 @@ def run_rate(fs: int, num_sims: int, snr_db_vec, num_grid: int = 113, seed: int 
         fs=fs,
     )
     demo.calibrate_profiles()
+    f_tone = float(np.mean(freq_band))
     t = np.arange(0, 0.25, 1 / fs)
-    sig = np.sin(2 * np.pi * 1750 * t).astype(np.float32)
+    sig = np.sin(2 * np.pi * f_tone * t).astype(np.float32)
     rng = np.random.default_rng(seed)
     grid = np.asarray(demo.doa_list)
 
@@ -98,7 +100,7 @@ def run_rate(fs: int, num_sims: int, snr_db_vec, num_grid: int = 113, seed: int 
     # the aperture arithmetic that explains the numbers
     r = 4.5e-2
     out["max_delay_samples"] = 2 * r / SOUND_SPEED * fs
-    out["tau_samples"] = fs / (2 * np.pi * 1750.0)
+    out["tau_samples"] = fs / (2 * np.pi * f_tone)
 
     # flagship-style throughput at this rate: 96-frame matched forward,
     # pipelined (block once after all dispatches — bench.py's convention)
@@ -133,8 +135,14 @@ def run_rate(fs: int, num_sims: int, snr_db_vec, num_grid: int = 113, seed: int 
 def main():
     num_sims = 25 if "--quick" not in sys.argv else 8
     snrs = [0.0, 10.0]
-    rows = [run_rate(fs, num_sims, snrs) for fs in (48_000, 24_000, 12_000)]
+    # --band=hi gates the mode on the HIGHEST reference band (2300-2600 Hz),
+    # where tau is smallest (1.56 samples at 24 kHz) — the worst case for
+    # the integer time-constant quantization (ROADMAP r5 item b)
+    band = (2300, 2600) if "--band=hi" in sys.argv else (1600, 1900)
+    rates = (48_000, 24_000) if band != (1600, 1900) else (48_000, 24_000, 12_000)
+    rows = [run_rate(fs, num_sims, snrs, freq_band=band) for fs in rates]
     print(json.dumps({"experiment": "reduced_rate_refutation",
+                      "band": list(band),
                       "num_sims": num_sims, "rows": rows}, indent=2))
     ref = rows[0]
     print("\n# fs    max_delay(smp)  tau(smp)  MAE@0dB  MAE@10dB  b96-fwd(ms)  audio-s/s",
