@@ -38,6 +38,8 @@ def main(
     n_steps: int = 100,
     freq_band=(1600, 1900),
     num_grid: int = 64 * 7 + 1,
+    fs: int = FS,
+    sources: int = 1,
 ):
     from haghighatshoarmuir2024_tpu import CenterCircularArray
     from haghighatshoarmuir2024_tpu.models.xylo import Demo
@@ -52,17 +54,17 @@ def main(
         recording_duration=chunk_sec,
         kernel_duration=10e-3,
         bipolar_spikes=True,
-        fs=FS,
+        fs=fs,
     )
     demo.calibrate_profiles()  # bias-free matched estimator for the gate
     sl = StreamingLocalizer(demo)
 
     # B streams, each a tone from a different direction + noise
-    t, sig = sinusoid_template(float(np.mean(freq_band)), chunk_sec)
+    t, sig = sinusoid_template(float(np.mean(freq_band)), chunk_sec, fs=fs)
     rng = np.random.default_rng(0)
     doas = np.linspace(-np.pi, np.pi, batch, endpoint=False)
     chunks = np.stack(
-        [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS)) for d in doas]
+        [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=fs)) for d in doas]
     ).astype(np.float32)
     if sources == 2:
         # second equal-power tone per stream, 2 rad away (multi-source
@@ -71,7 +73,7 @@ def main(
         sig2 = np.sin(2 * np.pi * (float(np.mean(freq_band)) + 100.0) * t2)
         doas_b = np.arctan2(np.sin(doas + 2.0), np.cos(doas + 2.0))
         chunks = chunks + np.stack([
-            np.asarray(signal_from_template(geometry, t2, sig2, float(d), fs=FS))
+            np.asarray(signal_from_template(geometry, t2, sig2, float(d), fs=fs))
             for d in doas_b
         ]).astype(np.float32)
     chunks = chunks + 0.1 * rng.standard_normal(chunks.shape).astype(np.float32)
@@ -140,6 +142,7 @@ def daemon_main(
     wire_upsample: int = 1,
     native_clients: bool = False,
     sources: int = 1,
+    fs: int = FS,
 ):
     """End-to-end serving throughput THROUGH the native daemon: 64 clients
     stream PCM in lockstep; wall time covers ingestion (native/streamd.cpp),
@@ -164,15 +167,15 @@ def daemon_main(
         recording_duration=chunk_sec,
         kernel_duration=10e-3,
         bipolar_spikes=True,
-        fs=FS,
+        fs=fs,
     )
     demo.calibrate_profiles()
 
-    t, sig = sinusoid_template(float(np.mean(freq_band)), chunk_sec)
+    t, sig = sinusoid_template(float(np.mean(freq_band)), chunk_sec, fs=fs)
     rng = np.random.default_rng(0)
     doas = np.linspace(-np.pi, np.pi, batch, endpoint=False)
     chunks = np.stack(
-        [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=FS)) for d in doas]
+        [np.asarray(signal_from_template(geometry, t, sig, float(d), fs=fs)) for d in doas]
     ).astype(np.float32)
     if sources == 2:
         # second equal-power tone per stream, 2 rad away (multi-source
@@ -181,7 +184,7 @@ def daemon_main(
         sig2 = np.sin(2 * np.pi * (float(np.mean(freq_band)) + 100.0) * t2)
         doas_b = np.arctan2(np.sin(doas + 2.0), np.cos(doas + 2.0))
         chunks = chunks + np.stack([
-            np.asarray(signal_from_template(geometry, t2, sig2, float(d), fs=FS))
+            np.asarray(signal_from_template(geometry, t2, sig2, float(d), fs=fs))
             for d in doas_b
         ]).astype(np.float32)
     chunks = chunks + 0.1 * rng.standard_normal(chunks.shape).astype(np.float32)
@@ -317,11 +320,15 @@ if __name__ == "__main__":
     up = 4 if "--decim=4" in sys.argv else 1
     native = "--native" in sys.argv
     n_src = 2 if "--sources=2" in sys.argv else 1
+    fs_cli = FS
+    for a in sys.argv[1:]:
+        if a.startswith("--fs="):
+            fs_cli = int(a.split("=", 1)[1])
     if "--shm" in sys.argv:
         daemon_main(use_shm=True, wire=wire, wire_upsample=up,
-                    native_clients=native, sources=n_src)
+                    native_clients=native, sources=n_src, fs=fs_cli)
     elif "--daemon" in sys.argv:
         daemon_main(wire=wire, wire_upsample=up, native_clients=native,
-                    sources=n_src)
+                    sources=n_src, fs=fs_cli)
     else:
-        main()
+        main(fs=fs_cli, sources=n_src)
