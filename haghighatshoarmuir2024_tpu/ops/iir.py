@@ -204,7 +204,8 @@ def _cached_block_matrices(b_key, a_key, SB: int):
     return G, H, Bm, Apow[SB]
 
 
-def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_state: bool = False):
+def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_state: bool = False,
+               sb: int = 32):
     """Apply the IIR filter defined by (b, a) along ``axis``.
 
     Matches ``scipy.signal.lfilter(b, a, x, axis=axis)`` with zero initial
@@ -268,7 +269,7 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
         return y
 
     if method == "blocked":
-        SB = 32
+        SB = int(sb)  # 32 unless the caller's seam length forces another divisor
         G_np, H_np, Bm_np, ASB_np = _cached_block_matrices(
             tuple(np.asarray(b, np.float64).tolist()),
             tuple(np.asarray(a, np.float64).tolist()),
@@ -317,7 +318,8 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
         return y
 
     if method == "blocked_cumsum":
-        return _iir_cumsum_blocked(b, a, x, axis=axis, zi=zi, return_state=return_state)
+        return _iir_cumsum_blocked(b, a, x, axis=axis, zi=zi,
+                                   return_state=return_state, sb=sb)
 
     if method == "parallel":
         if zi is not None or return_state:
@@ -345,7 +347,8 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
     raise ValueError(f"unknown IIR method: {method}")
 
 
-def _iir_cumsum_blocked(b, a, x, axis: int = 0, zi=None, return_state: bool = False):
+def _iir_cumsum_blocked(b, a, x, axis: int = 0, zi=None, return_state: bool = False,
+                        sb: int = 32):
     # The TPU's DEFAULT matmul precision is bf16 — measured 2.6% relative
     # error on the integrated signal vs the float64 reference, i.e. the
     # lifted maps silently ran at 8-bit mantissas.  Forcing float32-exact
@@ -353,11 +356,12 @@ def _iir_cumsum_blocked(b, a, x, axis: int = 0, zi=None, return_state: bool = Fa
     # are not the encode's bottleneck).
     with jax.default_matmul_precision("highest"):
         return _iir_cumsum_blocked_impl(
-            b, a, x, axis=axis, zi=zi, return_state=return_state
+            b, a, x, axis=axis, zi=zi, return_state=return_state, sb=sb
         )
 
 
-def _iir_cumsum_blocked_impl(b, a, x, axis: int = 0, zi=None, return_state: bool = False):
+def _iir_cumsum_blocked_impl(b, a, x, axis: int = 0, zi=None, return_state: bool = False,
+                             sb: int = 32):
     """``cumsum(lfilter(b, a, x), axis)`` as ONE lifted blocked pass.
 
     The RZCC encoder peaks the *integrated* bandpassed signal
@@ -377,7 +381,7 @@ def _iir_cumsum_blocked_impl(b, a, x, axis: int = 0, zi=None, return_state: bool
     State (``zi`` / returned): batch_shape + (N+1,) — the TDF2 filter state
     with the running integrator total appended.
     """
-    SB = 32
+    SB = int(sb)  # 32 unless the caller's seam length forces another divisor
     b64 = np.asarray(b, np.float64)
     a64 = np.asarray(a, np.float64)
     G_np, H_np, Bm_np, ASB_np = _cached_block_matrices(

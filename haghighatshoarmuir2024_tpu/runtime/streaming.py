@@ -184,11 +184,19 @@ class StreamingLocalizer:
                     # offline TPU encode (ops/iir._iir_cumsum_blocked)
                     bb, aa = bp_filters[i]
                     carry = state.int_carry[i * ch_per_band : (i + 1) * ch_per_band]
-                    if Tc % 32 == 0:
+                    # carried state pins the block size to a divisor of Tc;
+                    # prefer 32 (the tuned default), else the nearest
+                    # divisor — at fs=24 kHz Tc=6000 is NOT a multiple of 32
+                    # and the old `Tc % 32` gate silently fell back to the
+                    # sequential scan, making the 24 kHz streaming step 1.6x
+                    # SLOWER than 48 kHz (measured 11.4 vs 7.1 ms/96 streams)
+                    sb = next((s for s in (32, 48, 40, 24, 16, 8)
+                               if Tc % s == 0), None)
+                    if sb is not None:
                         zi_f = jnp.concatenate([zi, carry[:, None]], axis=1)
                         y, zf_f = iir_filter(
                             bb, aa, sig_real, axis=0, method="blocked_cumsum",
-                            zi=zi_f, return_state=True,
+                            zi=zi_f, return_state=True, sb=sb,
                         )
                         zf = zf_f[:, :-1]
                         carries.append(zf_f[:, -1])

@@ -96,6 +96,34 @@ def test_iir_cumsum_blocked_streaming_state(rng):
     np.testing.assert_allclose(got, full, rtol=1e-7, atol=1e-9)
 
 
+def test_iir_cumsum_blocked_nondefault_block_sizes(rng):
+    """sb != 32 (round 5): the 24 kHz streaming seam carries state across
+    Tc=6000-sample chunks, which no power-of-two block divides — the encode
+    now picks sb from {48, 40, 24, 16}.  Exactness and the carried-state
+    contract must hold at those block sizes."""
+    fs = 24_000
+    b, a = butter_bandpass(2, (1600, 1900), fs)
+    x = rng.standard_normal((6000, 3))
+    ref = np.cumsum(lfilter(b, a, x, axis=0), axis=0)
+    for sb in (48, 40, 24, 16):
+        got = np.asarray(
+            iir_filter(b, a, x, axis=0, method="blocked_cumsum", sb=sb)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+        # carried state across a seam at this block size (the carried chunk
+        # must be a multiple of sb, as in the streaming runtime)
+        split = 50 * sb
+        y1, s = iir_filter(
+            b, a, x[:split], axis=0, method="blocked_cumsum",
+            return_state=True, sb=sb,
+        )
+        y2 = iir_filter(
+            b, a, x[split:], axis=0, method="blocked_cumsum", zi=s, sb=sb
+        )
+        chunked = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=0)
+        np.testing.assert_allclose(chunked, got, rtol=1e-7, atol=1e-9)
+
+
 def test_stht_kernel_matches_scipy():
     for n in (480, 961):
         impulse = np.zeros(n)
