@@ -32,7 +32,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from common import FS, jittered_sinusoid_template
+    from common import jittered_sinusoid_template
 
     from haghighatshoarmuir2024_tpu import CenterCircularArray
     from haghighatshoarmuir2024_tpu.models.xylo import Demo

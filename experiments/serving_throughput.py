@@ -69,7 +69,7 @@ def main(
     if sources == 2:
         # second equal-power tone per stream, 2 rad away (multi-source
         # serving row, VERDICT r4 #5)
-        t2 = np.arange(0, chunk_sec, 1 / FS)
+        t2 = np.arange(0, chunk_sec, 1 / fs)
         sig2 = np.sin(2 * np.pi * (float(np.mean(freq_band)) + 100.0) * t2)
         doas_b = np.arctan2(np.sin(doas + 2.0), np.cos(doas + 2.0))
         chunks = chunks + np.stack([
@@ -93,9 +93,16 @@ def main(
     serving = batch * chunk_sec / (step_ms / 1000)
 
     # sanity: the carried counts must localize every stream (matched = the
-    # bias-free estimator the flagship ships; peak = reference-parity argmax)
+    # bias-free estimator the flagship ships; peak = reference-parity argmax).
+    # With sources == 2 this path still estimates ONE DoA per stream (the
+    # StreamingLocalizer has no peak picker state here — the daemon path
+    # measures real two-source coverage); the honest gate is "the single
+    # estimate locks one of the two sources", scored against the nearer.
     ests = np.asarray(sl.estimate_doa(state, method="matched"))
     err = np.abs(np.arcsin(np.abs(np.sin(ests - doas))))
+    if sources == 2:
+        err_b = np.abs(np.arcsin(np.abs(np.sin(ests - doas_b))))
+        err = np.minimum(err, err_b)
     ok = float(np.mean(np.rad2deg(err) < 5.0))
 
     # ---- single-stream latency
@@ -122,7 +129,7 @@ def main(
         "serving-audio-sec/sec": round(serving, 1),
         "serving-step-ms": round(step_ms, 2),
         "streams": batch,
-        "doa-ok-frac@5deg" if sources == 1 else "both-sources-frac@10deg": ok,
+        "doa-ok-frac@5deg" if sources == 1 else "nearest-source-frac@5deg": ok,
         "sources": sources,
         "latency-ms-blocking": round(float(np.median(lat_block)), 1),
         "latency-ms-pipelined": round(lat_pipe, 1),
@@ -180,7 +187,7 @@ def daemon_main(
     if sources == 2:
         # second equal-power tone per stream, 2 rad away (multi-source
         # serving row, VERDICT r4 #5)
-        t2 = np.arange(0, chunk_sec, 1 / FS)
+        t2 = np.arange(0, chunk_sec, 1 / fs)
         sig2 = np.sin(2 * np.pi * (float(np.mean(freq_band)) + 100.0) * t2)
         doas_b = np.arctan2(np.sin(doas + 2.0), np.cos(doas + 2.0))
         chunks = chunks + np.stack([

@@ -209,15 +209,27 @@ def iir_filter(b, a, x, axis: int = 0, method: str = "scan", zi=None, return_sta
     """Apply the IIR filter defined by (b, a) along ``axis``.
 
     Matches ``scipy.signal.lfilter(b, a, x, axis=axis)`` with zero initial
-    conditions (or ``zi`` — scan method only — for streaming).
+    conditions, or ``zi`` for streaming.
 
     Args:
         b, a: host-side filter coefficients (array-like, not traced).
         x: input, real or complex.
         axis: time axis.
-        method: "scan" | "parallel".
-        zi: optional initial state of shape batch_shape + (N,).
-        return_state: also return the final filter state (scan method only).
+        method: "scan" (sequential, bit-faithful) | "parallel" (associative
+            scan) | "blocked" (lifted ``sb``-sample block form, MXU matmuls)
+            | "blocked_cumsum" (``cumsum(lfilter(...))`` fused into one
+            lifted pass — the TPU encode/streaming path).
+        zi: optional initial state, batch_shape + (N,) — for
+            "blocked_cumsum" it is batch_shape + (N+1,): TDF2 state plus
+            the running integrator total.
+        return_state: also return the final filter state (scan and the two
+            blocked methods; the blocked forms require the time axis to be
+            a multiple of ``sb``).
+        sb: lifted block size for the blocked methods (default 32 — the
+            tuned TPU size).  Streaming callers whose chunk length is not a
+            multiple of 32 pass the largest divisor from
+            {48, 40, 24, 16, 8} (runtime/streaming.py) instead of falling
+            back to the sequential scan.
     """
     b = np.asarray(b)
     a = np.asarray(a)

@@ -67,6 +67,7 @@ _SLOW_TESTS = {
     "test_doa_estimation_accuracy",
     "test_music_noise_subspace_variant",
     "test_iir_cumsum_level2_matches_level1",
+    "test_iir_cumsum_blocked_nondefault_block_sizes",
     "test_distance_matches_scipy",
     "test_mesh_and_monte_carlo_sharded",
     "test_rzcc_under_jit_and_vmap",

@@ -105,7 +105,7 @@ def test_iir_cumsum_blocked_nondefault_block_sizes(rng):
     b, a = butter_bandpass(2, (1600, 1900), fs)
     x = rng.standard_normal((6000, 3))
     ref = np.cumsum(lfilter(b, a, x, axis=0), axis=0)
-    for sb in (48, 40, 24, 16):
+    for sb in (48, 40, 24, 16, 8):
         got = np.asarray(
             iir_filter(b, a, x, axis=0, method="blocked_cumsum", sb=sb)
         )
