@@ -458,6 +458,43 @@ def test_iir_blocked_cumsum_carried_seam_device():
     assert err.max() <= 1e-5, f"seam max rel err {err.max():.3e}"
 
 
+def test_iir_blocked_cumsum_sb48_seam_device():
+    """The 24 kHz streaming seam's non-default block size on the real chip
+    (round 5): Tc=6000 is not a multiple of 32, so the seam runs the lifted
+    form at sb=48 (runtime/streaming.py) — chunked carried-state at that
+    block size must equal one full pass on-device, like the sb=32 case
+    above.  CPU float64 exactness is pinned in tests/test_ops_filters.py;
+    this guards the TPU lowering of the sb-parametrized lifted matrices."""
+    from haghighatshoarmuir2024_tpu.ops.iir import butter_bandpass, iir_filter
+
+    b, a = butter_bandpass(1, (1600.0, 1900.0), 24_000.0)
+    rng = np.random.default_rng(6)
+    T, L = 12_000, 8  # two 6000-sample chunks, each a multiple of 48
+    x = rng.standard_normal((T, L)).astype(np.float32)
+
+    full = np.asarray(
+        jax.jit(
+            lambda xx: iir_filter(b, a, xx, axis=0, method="blocked_cumsum",
+                                  sb=48)
+        )(jnp.asarray(x))
+    )
+
+    @jax.jit
+    def chunked(x1, x2):
+        y1, s = iir_filter(
+            b, a, x1, axis=0, method="blocked_cumsum", return_state=True,
+            sb=48,
+        )
+        y2 = iir_filter(b, a, x2, axis=0, method="blocked_cumsum", zi=s,
+                        sb=48)
+        return jnp.concatenate([y1, y2], axis=0)
+
+    got = np.asarray(chunked(jnp.asarray(x[: T // 2]), jnp.asarray(x[T // 2 :])))
+    scale = np.maximum(np.abs(full).max(axis=0, keepdims=True), 1e-12)
+    err = np.abs(got - full) / scale
+    assert err.max() <= 1e-5, f"sb=48 seam max rel err {err.max():.3e}"
+
+
 def test_multi_target_music_tracking_device_matches_host():
     """The round-4 multi-source chain on the REAL chip: noise-subspace MUSIC
     pseudospectrum -> top_k_peaks -> gated GNN tracker.  The device
